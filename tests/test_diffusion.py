@@ -134,7 +134,7 @@ def test_training_losses_mse():
 def test_loss_second_moment_resampler_state():
     from odise_tpu.diffusion import LossSecondMomentResampler
 
-    d = GaussianDiffusion(betas=get_named_beta_schedule("linear", 4))
+    d = GaussianDiffusion(betas=get_named_beta_schedule("cosine", 4))
     s = LossSecondMomentResampler(d, history_per_term=2)
     state = s.init_state()
     # before warmup: uniform
