@@ -1,0 +1,73 @@
+"""Bilinear grid sampling in pure jnp (NHWC, TPU-friendly gathers).
+
+This is the framework's equivalent of ``F.grid_sample`` used by the
+reference's pure-PyTorch deformable-attention fallback
+(reference third_party/Mask2Former/.../ops/functions/ms_deform_attn_func.py:52-72)
+and by point-sampled losses. Implemented from the bilinear interpolation
+definition; gathers are expressed as flat ``jnp.take`` so XLA lowers them to
+efficient dynamic-gathers on TPU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["grid_sample", "point_sample"]
+
+
+def grid_sample(im: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
+    """Sample ``im`` at normalized coordinates ``grid``.
+
+    Args:
+      im: [B, H, W, C] input feature map (NHWC).
+      grid: [B, N, 2] xy coordinates in [-1, 1] (torch grid_sample convention).
+      align_corners: coordinate convention flag (matches torch semantics).
+
+    Returns:
+      [B, N, C] sampled values, zero-padded outside the image.
+    """
+    B, H, W, C = im.shape
+    x, y = grid[..., 0], grid[..., 1]
+
+    if align_corners:
+        x = (x + 1.0) * 0.5 * (W - 1)
+        y = (y + 1.0) * 0.5 * (H - 1)
+    else:
+        x = ((x + 1.0) * W - 1.0) * 0.5
+        y = ((y + 1.0) * H - 1.0) * 0.5
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def corner(xi, yi, w):
+        valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        flat_idx = yc * W + xc  # [B, N]
+        im_flat = im.reshape(B, H * W, C)
+        vals = jnp.take_along_axis(im_flat, flat_idx[..., None], axis=1)  # [B, N, C]
+        return vals * (w * valid.astype(im.dtype))[..., None]
+
+    out = (
+        corner(x0, y0, wx0 * wy0)
+        + corner(x1, y0, wx1 * wy0)
+        + corner(x0, y1, wx0 * wy1)
+        + corner(x1, y1, wx1 * wy1)
+    )
+    return out
+
+
+def point_sample(feat: jnp.ndarray, points: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
+    """Sample [B, H, W, C] features at [B, N, 2] xy points in [0, 1].
+
+    Equivalent of detectron2's ``point_sample`` used by the point-sampled
+    mask losses (reference criterion.py:147-197, matcher.py:96-156).
+    """
+    return grid_sample(feat, 2.0 * points - 1.0, align_corners=align_corners)

@@ -1,0 +1,144 @@
+"""Kernel-vs-reference tests, mirroring the reference's ops/test.py pattern
+(CUDA-vs-pytorch forward equivalence + gradcheck): our XLA ops are checked
+against torch CPU oracles and scipy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from odise_tpu.ops.grid_sample import grid_sample, point_sample
+from odise_tpu.ops.lap import auction_lap, linear_sum_assignment
+from odise_tpu.ops.ms_deform_attn import ms_deform_attn
+
+
+def test_grid_sample_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    im = rng.randn(2, 5, 7, 3).astype(np.float32)  # NHWC
+    grid = (rng.rand(2, 11, 2).astype(np.float32) * 2.4 - 1.2)  # includes OOB
+
+    ours = np.asarray(grid_sample(jnp.asarray(im), jnp.asarray(grid)))
+
+    im_t = torch.from_numpy(im).permute(0, 3, 1, 2)  # NCHW
+    grid_t = torch.from_numpy(grid).unsqueeze(2)  # [B, N, 1, 2]
+    ref = F.grid_sample(im_t, grid_t, mode="bilinear", padding_mode="zeros",
+                        align_corners=False)
+    ref = ref.squeeze(-1).permute(0, 2, 1).numpy()  # [B, N, C]
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sample_align_corners_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(1)
+    im = rng.randn(1, 4, 4, 2).astype(np.float32)
+    grid = (rng.rand(1, 9, 2).astype(np.float32) * 2 - 1)
+    ours = np.asarray(grid_sample(jnp.asarray(im), jnp.asarray(grid), align_corners=True))
+    im_t = torch.from_numpy(im).permute(0, 3, 1, 2)
+    ref = F.grid_sample(im_t, torch.from_numpy(grid).unsqueeze(2), align_corners=True)
+    ref = ref.squeeze(-1).permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_point_sample_center():
+    im = jnp.arange(16.0).reshape(1, 4, 4, 1)
+    # point at exact center of pixel (1,1): normalized ((1+0.5)/4, (1+0.5)/4)
+    pts = jnp.array([[[1.5 / 4, 1.5 / 4]]])
+    out = point_sample(im, pts)
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 0], 5.0, atol=1e-5)
+
+
+def _torch_ms_deform_attn_ref(value, shapes, loc, weights):
+    """Pure-torch reference of the deformable-attn math (as in the paper)."""
+    import torch
+    import torch.nn.functional as F
+
+    value = torch.from_numpy(value)
+    loc = torch.from_numpy(loc)
+    weights = torch.from_numpy(weights)
+    B, _, n_heads, hd = value.shape
+    _, Lq, _, n_levels, n_points, _ = loc.shape
+    value_list = value.split([h * w for h, w in shapes], dim=1)
+    sampling_grids = 2 * loc - 1
+    out = torch.zeros(B, Lq, n_heads, hd)
+    for lvl, (h, w) in enumerate(shapes):
+        v = value_list[lvl].reshape(B, h, w, n_heads, hd)
+        v = v.permute(0, 3, 4, 1, 2).reshape(B * n_heads, hd, h, w)
+        g = sampling_grids[:, :, :, lvl].permute(0, 2, 1, 3, 4)
+        g = g.reshape(B * n_heads, Lq, n_points, 2)
+        sampled = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros",
+                                align_corners=False)  # [B*h, hd, Lq, P]
+        sampled = sampled.reshape(B, n_heads, hd, Lq, n_points)
+        w_l = weights[:, :, :, lvl].permute(0, 2, 1, 3)  # [B, heads, Lq, P]
+        out += torch.einsum("bhcqp,bhqp->bqhc", sampled, w_l)
+    return out.reshape(B, Lq, n_heads * hd).numpy()
+
+
+def test_ms_deform_attn_matches_torch_reference():
+    pytest.importorskip("torch")
+    rng = np.random.RandomState(42)
+    shapes = [(6, 8), (3, 4)]
+    B, n_heads, hd, Lq, n_points = 2, 4, 8, 10, 4
+    Lv = sum(h * w for h, w in shapes)
+    value = rng.randn(B, Lv, n_heads, hd).astype(np.float32)
+    loc = rng.rand(B, Lq, n_heads, len(shapes), n_points, 2).astype(np.float32)
+    w = rng.rand(B, Lq, n_heads, len(shapes), n_points).astype(np.float32)
+    w /= w.sum(axis=(-2, -1), keepdims=True)
+
+    ours = np.asarray(ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(loc),
+                                     jnp.asarray(w)))
+    ref = _torch_ms_deform_attn_ref(value, shapes, loc, w)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_ms_deform_attn_differentiable():
+    shapes = [(4, 4)]
+    value = jnp.ones((1, 16, 2, 4))
+    loc = jnp.full((1, 3, 2, 1, 2, 2), 0.5)
+    w = jnp.full((1, 3, 2, 1, 2), 0.5)
+
+    def loss(v):
+        return jnp.sum(ms_deform_attn(v, shapes, loc, w) ** 2)
+
+    g = jax.grad(loss)(value)
+    assert g.shape == value.shape
+    assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).sum()) > 0
+
+
+def test_auction_lap_square_matches_scipy():
+    from scipy.optimize import linear_sum_assignment as scipy_lap
+
+    rng = np.random.RandomState(7)
+    for n in [4, 16, 50]:
+        cost = rng.rand(n, n).astype(np.float32) * 10
+        col = np.asarray(linear_sum_assignment(jnp.asarray(cost)))
+        assert sorted(col.tolist()) == list(range(n))  # valid permutation
+        ours = cost[np.arange(n), col].sum()
+        r, c = scipy_lap(cost)
+        ref = cost[r, c].sum()
+        assert ours <= ref + 1e-3 * n, (ours, ref)
+
+
+def test_auction_lap_rectangular():
+    from scipy.optimize import linear_sum_assignment as scipy_lap
+
+    rng = np.random.RandomState(3)
+    cost = rng.rand(10, 4).astype(np.float32)
+    col = np.asarray(linear_sum_assignment(jnp.asarray(cost)))
+    matched = {int(c): int(r) for r, c in enumerate(col) if c < 4}
+    assert len(matched) == 4  # every real column assigned exactly once
+    ours = sum(cost[r, c] for c, r in matched.items())
+    r_ref, c_ref = scipy_lap(cost)
+    ref = cost[r_ref, c_ref].sum()
+    assert ours <= ref + 1e-3, (ours, ref)
+
+
+def test_auction_lap_jits():
+    cost = jnp.asarray(np.random.RandomState(0).rand(20, 20), jnp.float32)
+    f = jax.jit(lambda c: auction_lap(-c))
+    col = np.asarray(f(cost))
+    assert sorted(col.tolist()) == list(range(20))
