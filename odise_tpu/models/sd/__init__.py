@@ -1,0 +1,2 @@
+from .vae import AutoencoderKL, Encoder, Decoder, SD_SCALE_FACTOR
+from .unet import UNetModel, timestep_embedding
