@@ -1,0 +1,161 @@
+"""On-device semantic / panoptic / instance fusion.
+
+Capability parity with MaskFormer's inference post-processing (reference
+third_party/Mask2Former/mask2former/maskformer_model.py:280-380):
+  * ``semantic_inference`` — prob blend einsum (maskformer_model.py:280-284).
+  * ``panoptic_inference`` — argmax over score-weighted masks with
+    overlap-threshold filtering and stuff merging
+    (maskformer_model.py:286-342). The reference's per-segment Python loop is
+    a host sync point (SURVEY.md section 3); here it is a ``lax.scan`` over
+    the fixed 100 queries producing a dense id map + fixed-size segment
+    tables, fully on device.
+  * ``instance_inference`` — top-k over Q*K with thing filtering and
+    mask-probability rescoring (maskformer_model.py:344-380), returning
+    fixed-size arrays.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def semantic_inference(mask_cls: jnp.ndarray, mask_pred: jnp.ndarray) -> jnp.ndarray:
+    """[Q, K+1] logits, [Q, H, W] mask logits -> [K, H, W] semantic probs."""
+    cls_prob = jax.nn.softmax(mask_cls, axis=-1)[..., :-1]
+    mask_prob = jax.nn.sigmoid(mask_pred)
+    return jnp.einsum("qc,qhw->chw", cls_prob, mask_prob)
+
+
+class PanopticOutput(NamedTuple):
+    panoptic_seg: jnp.ndarray   # [H, W] int32 segment ids (0 = void)
+    segment_category: jnp.ndarray  # [Q] int32 category per segment id-1 (-1 unused)
+    segment_isthing: jnp.ndarray   # [Q] bool
+    num_segments: jnp.ndarray      # [] int32
+
+
+def panoptic_inference(
+    mask_cls: jnp.ndarray,
+    mask_pred: jnp.ndarray,
+    thing_mask: jnp.ndarray,
+    object_mask_threshold: float = 0.8,
+    overlap_threshold: float = 0.8,
+) -> PanopticOutput:
+    """Panoptic fusion for one image, fully on device.
+
+    Args:
+      mask_cls: [Q, K+1] classification logits (last = null/bg).
+      mask_pred: [Q, H, W] mask logits.
+      thing_mask: [K] bool, True where the category is a "thing".
+      object_mask_threshold: score threshold (reference cfg 0.8 / ODISE 0.0).
+      overlap_threshold: min surviving-area fraction.
+
+    Returns fixed-size PanopticOutput; ids are 1..num_segments in query order
+    (matching the reference's sequential assignment semantics).
+    """
+    Q, K1 = mask_cls.shape
+    K = K1 - 1
+    H, W = mask_pred.shape[1:]
+
+    probs = jax.nn.softmax(mask_cls, axis=-1)
+    scores = jnp.max(probs[:, :-1], axis=-1)
+    labels = jnp.argmax(probs[:, :-1], axis=-1)
+    keep = (scores > object_mask_threshold)
+
+    mask_prob = jax.nn.sigmoid(mask_pred)
+    cur_prob_masks = scores[:, None, None] * mask_prob
+    # non-kept queries never win the argmax
+    cur_prob_masks = jnp.where(keep[:, None, None], cur_prob_masks, -1.0)
+    mask_ids = jnp.argmax(cur_prob_masks, axis=0)  # [H, W]
+    any_kept = jnp.any(keep)
+
+    isthing_q = jnp.take(thing_mask, jnp.clip(labels, 0, K - 1))
+
+    won = (mask_ids[None] == jnp.arange(Q)[:, None, None]) & (mask_prob >= 0.5)
+    mask_area = jnp.sum(won, axis=(1, 2))
+    original_area = jnp.sum(mask_pred >= 0.0, axis=(1, 2))  # logits>=0 <=> prob>=0.5
+    valid = (
+        keep
+        & (mask_area > 0)
+        & (original_area > 0)
+        & (mask_area.astype(jnp.float32)
+           >= overlap_threshold * original_area.astype(jnp.float32))
+    ) & any_kept
+
+    def body(carry, q):
+        pan_seg, class_to_id, next_id, seg_cat, seg_thing = carry
+        v = valid[q]
+        label = labels[q]
+        thing = isthing_q[q]
+        existing = class_to_id[label]
+        reuse_stuff = (~thing) & (existing > 0)
+        new_id = jnp.where(reuse_stuff, existing, next_id)
+        # record segment table entry only for fresh ids
+        fresh = v & ~reuse_stuff
+        idx = jnp.where(fresh, next_id - 1, Q)  # Q = drop slot
+        seg_cat = seg_cat.at[idx].set(jnp.where(fresh, label, -1), mode="drop")
+        seg_thing = seg_thing.at[idx].set(thing, mode="drop")
+        class_to_id = jnp.where(
+            v & ~thing,
+            class_to_id.at[label].set(new_id),
+            class_to_id,
+        )
+        pan_seg = jnp.where(v & won[q], new_id, pan_seg)
+        next_id = jnp.where(fresh, next_id + 1, next_id)
+        return (pan_seg, class_to_id, next_id, seg_cat, seg_thing), None
+
+    pan_seg0 = jnp.zeros((H, W), jnp.int32)
+    class_to_id0 = jnp.zeros((K,), jnp.int32)
+    seg_cat0 = jnp.full((Q,), -1, jnp.int32)
+    seg_thing0 = jnp.zeros((Q,), jnp.bool_)
+    (pan_seg, _, next_id, seg_cat, seg_thing), _ = jax.lax.scan(
+        body, (pan_seg0, class_to_id0, jnp.int32(1), seg_cat0, seg_thing0),
+        jnp.arange(Q))
+    return PanopticOutput(pan_seg, seg_cat, seg_thing, next_id - 1)
+
+
+class InstanceOutput(NamedTuple):
+    scores: jnp.ndarray        # [topk]
+    classes: jnp.ndarray       # [topk] int32
+    masks: jnp.ndarray         # [topk, H, W] bool
+    mask_scores: jnp.ndarray   # [topk] mask-prob rescoring factor
+
+
+def instance_inference(
+    mask_cls: jnp.ndarray,
+    mask_pred: jnp.ndarray,
+    thing_mask: jnp.ndarray,
+    topk: int = 100,
+    panoptic_on: bool = True,
+) -> InstanceOutput:
+    """Instance extraction for one image (reference maskformer_model.py:344-380)."""
+    Q, K1 = mask_cls.shape
+    K = K1 - 1
+    scores = jax.nn.softmax(mask_cls, axis=-1)[:, :-1]  # [Q, K]
+    if panoptic_on:
+        # keep only thing classes (reference filters by metadata)
+        scores = scores * thing_mask[None].astype(scores.dtype)
+    flat = scores.reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(flat, topk)
+    top_classes = (top_idx % K).astype(jnp.int32)
+    top_query = top_idx // K
+    masks_logits = jnp.take(mask_pred, top_query, axis=0)  # [topk, H, W]
+    mask_prob = jax.nn.sigmoid(masks_logits)
+    mask_bin = masks_logits > 0
+    mask_scores = (jnp.sum(mask_prob * mask_bin, axis=(1, 2))
+                   / (jnp.sum(mask_bin, axis=(1, 2)) + 1e-6))
+    return InstanceOutput(top_scores * mask_scores, top_classes, mask_bin, mask_scores)
+
+
+def sem_seg_postprocess(result: jnp.ndarray, img_hw: Tuple[int, int],
+                        out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Crop padded region then resize to output size (d2 sem_seg_postprocess).
+
+    result: [C, H_pad, W_pad]; img_hw: valid region; out_hw: target size.
+    Shapes must be static under jit (use bucketed eval sizes).
+    """
+    result = result[:, : img_hw[0], : img_hw[1]]
+    C = result.shape[0]
+    return jax.image.resize(result, (C, out_hw[0], out_hw[1]), method="bilinear")

@@ -1,0 +1,385 @@
+"""ODISE meta-architectures (CategoryODISE / CaptionODISE) in Flax.
+
+Capability parity with reference odise/modeling/meta_arch/odise.py:
+  * ``CategoryODISE`` (odise.py:169-372): backbone -> sem_seg_head ->
+    category head injects text/null embeds -> ``cal_pred_logits`` =
+    cosine(mask_embed, text_embed) * logit_scale with synonym ensembling and a
+    null (background) column -> SetCriterion (train) or PoolingCLIPHead
+    geometric ensemble + fusion (eval).
+  * ``CategoryEmbed`` (odise.py:1219-1307), ``WordEmbed`` (odise.py:1018-1216),
+    ``PoolingCLIPHead`` (odise.py:1422-1542), ``CaptionODISE``
+    (odise.py:375-619).
+
+Functional redesign for TPU:
+  * The vocabulary is *data*: raw CLIP text embeddings are precomputed once
+    per vocabulary (`encode_vocab`) and passed into the jitted forward; the
+    reference's mutable ``test_labels`` swap + LRU cache (odise.py:1092-1102,
+    pano_wrapper.py) collapses into choosing which arrays/static label
+    grouping to close over. Static synonym groupings specialize the compiled
+    graph per vocabulary.
+  * Mask fusion (semantic/panoptic/instance) is on-device (see inference.py);
+    the model returns dense [B, Q, K+1] logits and [B, Q, H, W] masks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .clip.adapter import build_mask_attn_mask, clip_preprocess
+from .clip.model import TextTransformer, VisionTransformer
+from .helper import ensemble_logits_with_labels
+
+
+def cal_pred_logits(mask_embed, text_embed, null_embed, logit_scale, labels):
+    """Cosine classification with synonym ensembling + null column
+    (reference odise.py:181-207). labels: static list of synonym lists."""
+    mask_embed = mask_embed / jnp.clip(
+        jnp.linalg.norm(mask_embed, axis=-1, keepdims=True), 1e-12)
+    text_embed = text_embed / jnp.clip(
+        jnp.linalg.norm(text_embed, axis=-1, keepdims=True), 1e-12)
+    pred = logit_scale * jnp.einsum("bqc,kc->bqk", mask_embed, text_embed)
+    pred = ensemble_logits_with_labels(pred, labels, ensemble_method="max")
+    null_embed = null_embed / jnp.clip(
+        jnp.linalg.norm(null_embed, axis=-1, keepdims=True), 1e-12)
+    null_pred = logit_scale * jnp.einsum("bqc,kc->bqk", mask_embed, null_embed)
+    return jnp.concatenate([pred, null_pred], axis=-1)
+
+
+class CategoryEmbed(nn.Module):
+    """Text projection + learnable null embed (reference odise.py:1219-1307).
+
+    The raw text-embedding table is an input (precomputed from the frozen
+    text tower); this module owns only the trainable pieces.
+    """
+
+    projection_dim: int
+    clip_dim: int = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, text_embed_raw: jnp.ndarray):
+        null_embed = self.param("null_embed", nn.initializers.normal(0.02),
+                                (1, self.clip_dim))
+        if self.projection_dim < 0:
+            return {"text_embed": text_embed_raw, "null_embed": null_embed}
+        proj = nn.Dense(self.projection_dim, dtype=self.dtype, name="text_proj")
+        return {
+            "text_embed": proj(text_embed_raw.astype(self.dtype)),
+            "null_embed": proj(null_embed.astype(self.dtype)),
+        }
+
+
+class WordEmbed(nn.Module):
+    """Caption-word projection head (reference odise.py:1018-1216).
+
+    Noun-phrase extraction is moved *offline* into the data pipeline
+    (SURVEY.md section 7: per-step host NLTK would stall TPUs); this module
+    receives pre-tokenized word token ids and encodes them with the shared
+    frozen text tower, applying the trainable projection.
+    """
+
+    projection_dim: int
+    clip_dim: int = 768
+    num_words: int = 8
+    word_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, word_embed_raw: jnp.ndarray):
+        """word_embed_raw: [B, K, D_clip] raw CLIP embeds of sampled words."""
+        if self.projection_dim < 0:
+            return {"word_embed": word_embed_raw}
+        proj = nn.Dense(self.projection_dim, dtype=self.dtype, name="word_proj")
+        return {"word_embed": proj(word_embed_raw.astype(self.dtype))}
+
+
+class PoolingCLIPHead(nn.Module):
+    """Test-time MaskCLIP classifier, geometrically ensembled with the mask
+    generator's logits; exponents alpha (seen) / beta (novel)
+    (reference odise.py:1422-1542).
+    """
+
+    alpha: float = 0.35
+    beta: float = 0.65
+    clip_image_size: int = 336
+    patch_size: int = 14
+    vit_width: int = 1024
+    vit_layers: int = 24
+    vit_heads: int = 16
+    embed_dim: int = 768
+    normalize_logits: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.clip_visual = VisionTransformer(
+            image_size=self.clip_image_size, patch_size=self.patch_size,
+            width=self.vit_width, layers=self.vit_layers, heads=self.vit_heads,
+            embed_dim=self.embed_dim, dtype=self.dtype)
+        self.logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(np.log(1 / 0.07)), ())
+
+    def get_mask_embed(self, images: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
+        """images [B,H,W,3] in [0,1]; masks [B,Q,H,W] logits -> [B,Q,768]
+        (reference clip.py:282-338)."""
+        S = self.clip_image_size
+        B, Q = masks.shape[:2]
+        img = jax.image.resize(images, (B, S, S, 3), method="bilinear")
+        img = clip_preprocess(img, S).astype(self.dtype)
+        m = jax.image.resize(masks, (B, Q, S, S), method="bilinear")
+        n_img_tokens = (S // self.patch_size) ** 2
+        attn_mask = build_mask_attn_mask(m, self.patch_size, n_img_tokens)
+        return self.clip_visual(img, mask_tokens=Q, attn_mask=attn_mask)
+
+    def __call__(self, images, pred_masks, pred_open_logits,
+                 text_embed: jnp.ndarray, labels: Tuple[Tuple[str, ...], ...],
+                 category_overlapping_mask: jnp.ndarray) -> jnp.ndarray:
+        """Returns the ensembled open logits [B, Q, K].
+
+        text_embed: raw CLIP embeds of the *prompted* test labels (flattened
+        synonyms); labels: static synonym grouping; category_overlapping_mask:
+        [K] 1 where the test category overlaps the training label set.
+        """
+        mask_embed = self.get_mask_embed(images, pred_masks)
+        # MaskCLIP pred_logits (reference clip.py:340-350)
+        me = mask_embed / jnp.clip(jnp.linalg.norm(mask_embed, axis=-1, keepdims=True), 1e-12)
+        te = text_embed / jnp.clip(jnp.linalg.norm(text_embed, axis=-1, keepdims=True), 1e-12)
+        scale = jnp.clip(jnp.exp(self.logit_scale), a_max=100.0)
+        mask_pred_open_logits = scale * jnp.einsum("bqc,kc->bqk", me, te.astype(me.dtype))
+        mask_pred_open_logits = ensemble_logits_with_labels(
+            mask_pred_open_logits, labels, ensemble_method="max")
+
+        ovl = category_overlapping_mask.astype(jnp.float32)
+        if self.normalize_logits:
+            pred_open_prob = jax.nn.softmax(pred_open_logits.astype(jnp.float32), axis=-1)
+            mask_pred_open_prob = jax.nn.softmax(
+                mask_pred_open_logits.astype(jnp.float32), axis=-1)
+            base = jnp.log(jnp.clip(
+                pred_open_prob ** (1 - self.alpha) * mask_pred_open_prob ** self.alpha,
+                1e-9)) * ovl
+            novel = jnp.log(jnp.clip(
+                pred_open_prob ** (1 - self.beta) * mask_pred_open_prob ** self.beta,
+                1e-9)) * (1.0 - ovl)
+        else:
+            base = (pred_open_logits * (1 - self.alpha)
+                    + mask_pred_open_logits * self.alpha) * ovl
+            novel = (pred_open_logits * (1 - self.beta)
+                     + mask_pred_open_logits * self.beta) * (1.0 - ovl)
+        return base + novel
+
+
+def category_overlapping_mask(train_labels, test_labels) -> np.ndarray:
+    """[K] int mask: 1 if a test category shares any synonym with training
+    labels (reference odise.py:1479-1491). Host-side, static per vocab."""
+    train_set = {l for label in train_labels for l in label}
+    return np.asarray(
+        [int(not train_set.isdisjoint(set(t))) for t in test_labels], np.int64)
+
+
+class CategoryODISE(nn.Module):
+    """Label-supervised ODISE (reference odise.py:169-372).
+
+    Methods (call via ``.apply(vars, ..., method=...)``):
+      * ``encode_vocab(tokens)``: frozen text tower -> raw pooled embeds.
+      * ``forward_train(images, text_embed_raw)``: outputs dict with
+        ``pred_logits`` (cosine+ensemble+null) on main and aux outputs,
+        ready for SetCriterion.
+      * ``forward_eval(images, ...)``: (mask_cls [B,Q,K+1], upsampled
+        mask_pred [B,Q,H,W]) with optional PoolingCLIPHead ensembling.
+    """
+
+    backbone: nn.Module
+    sem_seg_head: nn.Module
+    category_head: nn.Module
+    clip_head: Optional[nn.Module] = None
+    train_labels: Tuple[Tuple[str, ...], ...] = ()
+    num_queries: int = 100
+    object_mask_threshold: float = 0.0
+    overlap_threshold: float = 0.8
+    size_divisibility: int = 64
+    semantic_on: bool = True
+    instance_on: bool = True
+    panoptic_on: bool = True
+    test_topk_per_image: int = 100
+    dtype: jnp.dtype = jnp.float32
+
+    text_encoder: Optional[nn.Module] = None
+
+    def setup(self):
+        # Frozen CLIP text tower shared by category head / vocab encoding
+        # (reference instantiates a ClipAdapter inside CategoryEmbed).
+        self._text_enc = (self.text_encoder if self.text_encoder is not None
+                          else TextTransformer(dtype=self.dtype))
+
+    def encode_vocab(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """tokens [N, 77] -> pooled projected CLIP text embeds [N, 768]."""
+        embed, _ = self._text_enc(tokens)
+        return embed
+
+    def forward_features(self, images: jnp.ndarray, training: bool) -> Dict[str, Any]:
+        features = self.backbone(images, training=training)
+        return self.sem_seg_head(features)
+
+    def forward_train(self, images: jnp.ndarray, text_embed_raw: jnp.ndarray,
+                      labels: Optional[tuple] = None) -> Dict[str, Any]:
+        labels = labels if labels is not None else self.train_labels
+        outputs = self.forward_features(images, training=True)
+        cat = self.category_head(text_embed_raw)
+        outputs.update(cat)
+
+        def with_logits(o):
+            o = dict(o)
+            o["pred_logits"] = cal_pred_logits(
+                o["mask_embed"], cat["text_embed"], cat["null_embed"],
+                o["logit_scale"], labels)
+            return o
+
+        outputs["pred_logits"] = cal_pred_logits(
+            outputs["mask_embed"], cat["text_embed"], cat["null_embed"],
+            outputs["logit_scale"], labels)
+        outputs["aux_outputs"] = [with_logits(a) for a in outputs["aux_outputs"]]
+        return outputs
+
+    def forward_eval(
+        self,
+        images: jnp.ndarray,
+        text_embed_raw: jnp.ndarray,
+        labels: Tuple[Tuple[str, ...], ...],
+        clip_text_embed: Optional[jnp.ndarray] = None,
+        clip_labels: Optional[Tuple[Tuple[str, ...], ...]] = None,
+        category_overlap: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Open-vocabulary eval forward (reference odise.py:282-331).
+
+        Args:
+          images: [B, H, W, 3] in [0, 1] (padded to size_divisibility).
+          text_embed_raw: [K_flat, 768] raw embeds of the test vocabulary.
+          labels: static synonym grouping of the test vocabulary.
+          clip_text_embed / clip_labels / category_overlap: PoolingCLIPHead
+            inputs (prompted vocabulary); None disables the CLIP head.
+
+        Returns:
+          (mask_cls [B, Q, K+1] log-probs-like scores, mask_pred [B, Q, H, W]).
+        """
+        outputs = self.forward_features(images, training=False)
+        cat = self.category_head(text_embed_raw)
+        pred_logits = cal_pred_logits(
+            outputs["mask_embed"], cat["text_embed"], cat["null_embed"],
+            outputs["logit_scale"], labels)
+
+        mask_pred = outputs["pred_masks"]
+        mask_cls = pred_logits
+
+        if self.clip_head is not None and clip_text_embed is not None:
+            # no-bg path (reference odise.py:298-323)
+            pred_open_logits = pred_logits[..., :-1]
+            open_logits = self.clip_head(
+                images, mask_pred, pred_open_logits, clip_text_embed,
+                clip_labels, category_overlap)
+            probs = jax.nn.softmax(mask_cls.astype(jnp.float32), axis=-1)
+            bg_prob = probs[..., -1:]
+            fg_prob = 1.0 - bg_prob
+            class_probs = jax.nn.softmax(open_logits, axis=-1)
+            mask_cls = jnp.log(
+                jnp.concatenate([class_probs * fg_prob, bg_prob], axis=-1) + 1e-8)
+
+        B, Q = mask_pred.shape[:2]
+        H, W = images.shape[1:3]
+        mask_pred = jax.image.resize(mask_pred.astype(jnp.float32), (B, Q, H, W),
+                                     method="bilinear")
+        return mask_cls, mask_pred
+
+
+class CaptionODISE(nn.Module):
+    """Caption-supervised ODISE (reference odise.py:375-619).
+
+    Binary fg/bg mask classification + image-text grounding on caption words;
+    words are pre-extracted offline and arrive as token ids.
+    """
+
+    backbone: nn.Module
+    sem_seg_head: nn.Module
+    word_head: nn.Module
+    clip_head: Optional[nn.Module] = None
+    train_labels: Tuple[Tuple[str, ...], ...] = ()
+    num_queries: int = 100
+    object_mask_threshold: float = 0.0
+    overlap_threshold: float = 0.8
+    size_divisibility: int = 64
+    semantic_on: bool = True
+    instance_on: bool = True
+    panoptic_on: bool = True
+    test_topk_per_image: int = 100
+    dtype: jnp.dtype = jnp.float32
+
+    text_encoder: Optional[nn.Module] = None
+
+    def setup(self):
+        self._text_enc = (self.text_encoder if self.text_encoder is not None
+                          else TextTransformer(dtype=self.dtype))
+
+    def encode_vocab(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        embed, _ = self._text_enc(tokens)
+        return embed
+
+    def encode_words(self, word_tokens: jnp.ndarray) -> jnp.ndarray:
+        """[B, K, 77] -> [B, K, 768] raw CLIP embeds of caption words."""
+        B, K, L = word_tokens.shape
+        embed, _ = self._text_enc(word_tokens.reshape(B * K, L))
+        return embed.reshape(B, K, -1)
+
+    def forward_features(self, images: jnp.ndarray, training: bool) -> Dict[str, Any]:
+        features = self.backbone(images, training=training)
+        return self.sem_seg_head(features)
+
+    def forward_train(self, images: jnp.ndarray, word_tokens: jnp.ndarray
+                      ) -> Dict[str, Any]:
+        """Outputs with binary pred_logits + normalized word/mask embeds for
+        the grounding criterion (reference odise.py:431-537)."""
+        outputs = self.forward_features(images, training=True)
+        word_embed_raw = jax.lax.stop_gradient(self.encode_words(word_tokens))
+        outputs.update(self.word_head(word_embed_raw))
+        for aux in outputs["aux_outputs"]:
+            aux["word_embed"] = outputs["word_embed"]
+        return outputs
+
+    def forward_eval(self, images, text_embed_raw, labels,
+                     clip_text_embed=None, clip_labels=None, category_overlap=None):
+        """Open-vocab eval: binary fg/bg score + CLIP-head open logits
+        (reference odise.py:539-618)."""
+        outputs = self.forward_features(images, training=False)
+        # binary classification from pred_logits (fg, bg) (odise.py:428-430)
+        mask_pred = outputs["pred_masks"]
+        binary = outputs["pred_logits"]  # [B, Q, 2] via PseudoClassEmbed? no:
+        # CaptionODISE's predictor is configured with num_classes=1, so
+        # pred_logits is [B, Q, 2] (fg, bg).
+        word = self.word_head(text_embed_raw[None])  # project vocab like words
+        word_embed = word["word_embed"][0]
+        # cosine open logits with the projected vocabulary
+        me = outputs["mask_embed"]
+        me = me / jnp.clip(jnp.linalg.norm(me, axis=-1, keepdims=True), 1e-12)
+        te = word_embed / jnp.clip(jnp.linalg.norm(word_embed, axis=-1, keepdims=True), 1e-12)
+        open_logits = outputs["logit_scale"] * jnp.einsum("bqc,kc->bqk", me, te)
+        open_logits = ensemble_logits_with_labels(open_logits, labels, "max")
+
+        if self.clip_head is not None and clip_text_embed is not None:
+            open_logits = self.clip_head(
+                images, mask_pred, open_logits, clip_text_embed, clip_labels,
+                category_overlap)
+
+        probs = jax.nn.softmax(binary.astype(jnp.float32), axis=-1)
+        bg_prob = probs[..., -1:]
+        fg_prob = 1.0 - bg_prob
+        class_probs = jax.nn.softmax(open_logits.astype(jnp.float32), axis=-1)
+        mask_cls = jnp.log(
+            jnp.concatenate([class_probs * fg_prob, bg_prob], axis=-1) + 1e-8)
+
+        B, Q = mask_pred.shape[:2]
+        H, W = images.shape[1:3]
+        mask_pred = jax.image.resize(mask_pred.astype(jnp.float32), (B, Q, H, W),
+                                     method="bilinear")
+        return mask_cls, mask_pred
