@@ -7,10 +7,14 @@ logic is exercised in CI without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU regardless of env (the axon TPU plugin registers itself via
+# sitecustomize and sets JAX_PLATFORMS=axon, so setdefault is not enough)
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-# Keep XLA CPU compilation light on the 1-core CI machine.
-os.environ.setdefault("XLA_CPU_MULTI_THREAD_EIGEN", "false")
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
