@@ -46,6 +46,8 @@ def get_openseg_labels(dataset: str, prompt_engineered: bool = False) -> List[Li
     categories = []
     for line in lines:
         _, names = line.split(":", 1)
+        if names == "invalid_class_id":  # placeholder rows (reference build.py:44-46)
+            continue
         categories.append([n.strip() for n in names.split(",")])
     return categories
 
