@@ -130,12 +130,14 @@ def locate(name: str) -> Any:
 _INTERP_RE = re.compile(r"\$\{([^}]+)\}")
 
 
-def _lookup(root: Any, path_stack: list, expr: str) -> Any:
-    """Resolve an interpolation expression.
+def _lookup(root: Any, path_stack: list, expr: str):
+    """Resolve an interpolation expression to (value, stack_at_value).
 
     ``${a.b.c}`` is absolute from the root. Leading dots make it relative
     (omegaconf semantics): ``${.x}`` = sibling in current node, ``${..x}`` =
-    one level up, etc.
+    one level up, etc. The returned stack is the container chain at the
+    *referenced* location, so chained interpolations resolve in the right
+    frame (e.g. ``a.b = "${..c}"`` where ``c`` itself is ``"${..d}"``).
     """
     ndots = 0
     while ndots < len(expr) and expr[ndots] == ".":
@@ -144,6 +146,7 @@ def _lookup(root: Any, path_stack: list, expr: str) -> Any:
     keys = [k for k in rest.split(".") if k]
     if ndots == 0:
         node = root
+        nstack = [root]
     else:
         # path_stack holds the chain of containers from root to current node.
         # ${.x} -> current node; ${..x} -> parent; ...
@@ -151,47 +154,60 @@ def _lookup(root: Any, path_stack: list, expr: str) -> Any:
         if idx < 0:
             raise KeyError(f"Interpolation {expr!r} escapes config root")
         node = path_stack[idx]
+        nstack = list(path_stack[: idx + 1])
     for k in keys:
         if isinstance(node, (list, tuple)):
             node = node[int(k)]
         else:
             node = node[k]
-    return node
+        if isinstance(node, (dict, list)):
+            nstack.append(node)
+    return node, nstack
+
+
+_MAX_CHAIN = 100
 
 
 def resolve(cfg: Any) -> Any:
-    """Return a deep copy of ``cfg`` with all ``${...}`` interpolations resolved.
-
-    Resolution iterates to a fixed point so chained interpolations work.
-    """
+    """Return a deep copy of ``cfg`` with all ``${...}`` interpolations resolved."""
     cfg = copy.deepcopy(cfg)
 
-    def _resolve_node(node, stack):
+    def _resolve_node(node, stack, depth=0):
+        if depth > _MAX_CHAIN:
+            raise RecursionError(
+                f"Interpolation chain too deep (cycle?) at {node!r}")
         if isinstance(node, str):
             m = _INTERP_RE.fullmatch(node)
             if m:
-                val = _lookup(cfg, stack, m.group(1))
-                # referenced value may itself contain interpolations
-                return _resolve_node(val, stack) if isinstance(val, str) else val
+                val, vstack = _lookup(cfg, stack, m.group(1))
+                if isinstance(val, str):
+                    return _resolve_node(val, vstack, depth + 1)
+                if isinstance(val, (dict, list)):
+                    return _resolve_node(val, vstack[:-1], depth + 1)
+                return val
             if _INTERP_RE.search(node):
-                return _INTERP_RE.sub(
-                    lambda mm: str(_lookup(cfg, stack, mm.group(1))), node
-                )
+                def sub(mm):
+                    v, vstack = _lookup(cfg, stack, mm.group(1))
+                    if isinstance(v, str):
+                        v = _resolve_node(v, vstack, depth + 1)
+                    return str(v)
+
+                return _INTERP_RE.sub(sub, node)
             return node
         if isinstance(node, dict):
             new_stack = stack + [node]
             for k in list(node.keys()):
                 if k == _TARGET_KEY:
                     continue
-                node[k] = _resolve_node(node[k], new_stack)
+                node[k] = _resolve_node(node[k], new_stack, depth)
             return node
         if isinstance(node, list):
             new_stack = stack + [node]
             for i in range(len(node)):
-                node[i] = _resolve_node(node[i], new_stack)
+                node[i] = _resolve_node(node[i], new_stack, depth)
             return node
         if isinstance(node, tuple):
-            return tuple(_resolve_node(v, stack) for v in node)
+            return tuple(_resolve_node(v, stack, depth) for v in node)
         return node
 
     return _resolve_node(cfg, [])

@@ -26,14 +26,14 @@ from ..losses import CriterionConfig, set_criterion
 from ..parallel.mesh import batch_sharding, replicated
 
 
-@dataclasses.dataclass
+import flax.struct
+
+
+@flax.struct.dataclass
 class TrainState:
-    step: int
+    step: Any
     params: Any
     opt_state: Any
-
-    def replace(self, **kw):
-        return dataclasses.replace(self, **kw)
 
 
 def global_norm(tree) -> jnp.ndarray:

@@ -1,0 +1,298 @@
+#!/usr/bin/env python
+"""Train/eval CLI.
+
+Capability parity with the reference's single entry point
+(reference tools/train_net.py:312-399): LazyConfig load -> auto_scale_workers
+-> output/tag/wandb/init-from overrides -> dotted ``opts`` overrides ->
+default setup (dirs, loggers, seed, config backup) -> train or eval-only.
+The reference's multi-process `launch` collapses into single-controller JAX
+over a device mesh.
+
+Usage:
+  python tools/train_net.py --config-file configs/Panoptic/odise_label_coco_50e.py [--eval-only] [opts...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+logger = logging.getLogger("odise_tpu")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config-file", required=True)
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--init-from", default="", help="initial checkpoint path")
+    p.add_argument("--output", default="", help="override train.output_dir")
+    p.add_argument("--tag", default="", help="run tag")
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--ref", type=int, default=-1,
+                   help="reference world size for auto scaling")
+    p.add_argument("--max-eval-images", type=int, default=-1,
+                   help="cap eval images per task (smoke runs)")
+    p.add_argument("opts", nargs=argparse.REMAINDER,
+                   help="dotted config overrides: a.b.c=value")
+    return p.parse_args()
+
+
+def default_setup(cfg, args):
+    """Dirs, loggers, seed, config backup (reference odise/engine/defaults.py:44-100)."""
+    from odise_tpu.config import save_config
+    from odise_tpu.utils.logging import setup_logger
+
+    output_dir = cfg.train.output_dir
+    os.makedirs(output_dir, exist_ok=True)
+    setup_logger(output_dir)
+    logger.info("Command line args: %s", args)
+    save_config(cfg, os.path.join(output_dir, "config.yaml"))
+    import jax
+
+    logger.info("JAX devices: %s", jax.devices())
+    np.random.seed(cfg.train.seed)
+
+
+def build_vocab_and_thing_mask(model, variables, wrapper_cfg, train_labels):
+    from odise_tpu.data.catalog import MetadataCatalog
+    from odise_tpu.models.wrapper import build_open_vocabulary
+
+    labels = wrapper_cfg["labels"]
+    meta = MetadataCatalog.get(wrapper_cfg["dataset_name"])
+    thing_mask = None
+    if meta.get("categories"):
+        thing_mask = np.asarray([bool(c["isthing"]) for c in meta.get("categories")])
+    return build_open_vocabulary(
+        model, variables, labels, train_labels=train_labels,
+        thing_mask=thing_mask, with_clip_head=model.clip_head is not None)
+
+
+def do_test(cfg, model, variables, max_images=-1, final_iter=True):
+    """Multi-task open-vocab evaluation (reference tools/train_net.py:107-210)."""
+    import jax
+    import jax.numpy as jnp
+
+    from odise_tpu.config import instantiate
+    from odise_tpu.data.catalog import MetadataCatalog
+    from odise_tpu.data.dataset_mapper import COCOPanopticDatasetMapper
+    from odise_tpu.data.transforms import AugInput, ResizeShortestEdge
+    from odise_tpu.evaluation.evaluator import print_csv_format
+    from odise_tpu.evaluation.panoptic_eval import PanopticEvaluator
+    from odise_tpu.evaluation.sem_seg_eval import SemSegEvaluator
+    from odise_tpu.models.inference import panoptic_inference, semantic_inference
+    from odise_tpu.models.wrapper import OpenPanopticInference
+    from PIL import Image
+
+    results = {}
+    tasks = {"main": {"wrapper": cfg.dataloader.wrapper,
+                      "dataset": cfg.dataloader.wrapper["dataset_name"]}}
+    for name, t in cfg.get("extra_task", {}).items():
+        if t.get("final_iter_only") and not final_iter:
+            continue
+        tasks[name] = {"wrapper": t["task"]["wrapper"],
+                       "dataset": t["task"]["wrapper"]["dataset_name"]}
+
+    for task_name, task in tasks.items():
+        wrapper_cfg = instantiate(task["wrapper"])
+        dataset_name = task["dataset"]
+        from odise_tpu.data.catalog import DatasetCatalog
+
+        try:
+            records = DatasetCatalog.get(dataset_name)
+        except Exception as e:
+            logger.warning("Skipping task %s: %s", task_name, e)
+            continue
+        if records and not os.path.isfile(records[0].get("file_name", "")):
+            logger.warning("Skipping task %s: dataset files not found", task_name)
+            continue
+        if max_images > 0:
+            records = records[:max_images]
+
+        vocab = build_vocab_and_thing_mask(
+            model, variables, wrapper_cfg, model.train_labels)
+        infer = OpenPanopticInference(model, variables, vocab)
+        K = len(vocab.labels)
+
+        sem_ev = SemSegEvaluator(
+            num_classes=K,
+            ignore_label=MetadataCatalog.get(dataset_name).get("ignore_label", 255))
+        resize = ResizeShortestEdge(cfg.dataloader.get("eval_short_side", 1024),
+                                    cfg.dataloader.get("eval_max_size", 2560))
+        t_start = time.perf_counter()
+        n = 0
+        for rec in records:
+            img = np.asarray(Image.open(rec["file_name"]).convert("RGB"))
+            ai = resize(AugInput(image=img))
+            h, w = ai.image.shape[:2]
+            h64, w64 = -(-h // 64) * 64, -(-w // 64) * 64
+            padded = np.zeros((1, h64, w64, 3), np.float32)
+            padded[0, :h, :w] = ai.image.astype(np.float32) / 255.0
+            mask_cls, mask_pred = infer(jnp.asarray(padded))
+            sem = semantic_inference(mask_cls[0], mask_pred[0])
+            sem = np.asarray(sem[:, :h, :w])
+            # resize to gt size
+            if "sem_seg_file_name" in rec and os.path.isfile(rec["sem_seg_file_name"]):
+                gt = np.asarray(Image.open(rec["sem_seg_file_name"]))
+                import cv2
+
+                pred_ids = cv2.resize(
+                    np.argmax(sem, 0).astype(np.int32), (gt.shape[1], gt.shape[0]),
+                    interpolation=cv2.INTER_NEAREST)
+                sem_ev.process(pred_ids, gt)
+            n += 1
+        dt = time.perf_counter() - t_start
+        r = sem_ev.evaluate()
+        r["images"] = n
+        r["s_per_img"] = dt / max(n, 1)
+        results[task_name] = r
+        logger.info("Task %s: %s", task_name, {k: round(v, 2) for k, v in r.items()
+                                               if isinstance(v, float)})
+
+    print_csv_format(results)
+    return results
+
+
+def do_train(args, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from odise_tpu.config import instantiate, instantiate_odise, resolve
+    from odise_tpu.engine.checkpoint import Checkpointer
+    from odise_tpu.engine.optimizer import make_optimizer
+    from odise_tpu.engine.train_loop import (
+        TrainState, Trainer, make_category_train_step)
+    from odise_tpu.losses import CriterionConfig
+    from odise_tpu.models.clip.tokenizer import tokenize
+    from odise_tpu.parallel.mesh import batch_sharding, create_mesh, shard_params
+    from odise_tpu.utils.events import (
+        CommonMetricPrinter, EventStorage, JSONWriter, WandbWriter, WriterStack)
+
+    cfg = resolve(cfg)
+    model = instantiate_odise(cfg.model)
+    criterion_cfg = instantiate(cfg.criterion)
+    train_loader = instantiate(cfg.dataloader.train)
+
+    mesh = create_mesh(data=len(jax.devices()), model=1)
+    batch0 = next(train_loader)
+
+    # precompute training-vocabulary text embeds with the frozen text tower
+    labels = model.train_labels
+    flat = [t for group in labels for t in group]
+
+    logger.info("Initializing model parameters...")
+    init_img = jnp.zeros((1,) + batch0["image"].shape[1:], jnp.float32)
+    text_raw_shape = jnp.zeros((len(flat), model.category_head.clip_dim))
+    variables = model.init(jax.random.PRNGKey(cfg.train.seed), init_img,
+                           text_raw_shape, labels,
+                           method=type(model).forward_train)
+    params = shard_params(variables["params"], mesh)
+
+    encode = jax.jit(lambda toks: model.apply(
+        {"params": params}, toks, method=type(model).encode_vocab))
+    text_embed_raw = encode(jnp.asarray(tokenize(flat)))
+
+    tx = make_optimizer(params, lr=cfg.optimizer.lr,
+                        weight_decay=cfg.optimizer.weight_decay,
+                        milestones=tuple(cfg.optimizer.milestones),
+                        grad_clip=cfg.optimizer.grad_clip)
+    opt_state = tx.init(params)
+
+    ck = Checkpointer(os.path.join(cfg.train.output_dir, "checkpoints"),
+                      max_to_keep=cfg.train.checkpointer.max_to_keep)
+    params, loaded_opt, start_iter, _ = ck.resume_or_load(
+        args.init_from or None, params, resume=args.resume)
+    if loaded_opt is not None:
+        opt_state = loaded_opt
+
+    state = TrainState(jnp.asarray(start_iter), params, opt_state)
+    step_fn = make_category_train_step(model, tx, criterion_cfg,
+                                       text_embed_raw, labels, mesh=mesh)
+
+    bs = batch_sharding(mesh)
+
+    def place(batch):
+        return {k: jax.device_put(v, bs) for k, v in batch.items()
+                if k in ("image", "gt_labels", "gt_masks", "gt_valid")}
+
+    storage = EventStorage(start_iter)
+    writers = [CommonMetricPrinter(cfg.train.max_iter),
+               JSONWriter(os.path.join(cfg.train.output_dir, "metrics.json"))]
+    if args.wandb:
+        writers.append(WandbWriter(max_iter=cfg.train.max_iter))
+
+    rng = jax.random.PRNGKey(cfg.train.seed + 1)
+    data_iter = iter(train_loader) if not hasattr(train_loader, "__next__") else train_loader
+
+    with WriterStack(writers):
+        batch = batch0
+        for it in range(start_iter, cfg.train.max_iter):
+            t0 = time.perf_counter()
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step_fn(state, place(batch), step_rng)
+            batch = next(data_iter)  # overlap host data work with device step
+            metrics = {k: float(v) for k, v in metrics.items()}
+            storage.put_scalars(time=time.perf_counter() - t0, **metrics)
+            if (it + 1) % cfg.train.log_period == 0:
+                for w in writers:
+                    w.write(storage)
+            if (it + 1) % cfg.train.checkpointer.period == 0 or (it + 1) == cfg.train.max_iter:
+                ck.save(f"model_{it:07d}", jax.device_get(state.params),
+                        jax.device_get(state.opt_state), it + 1)
+            storage.step()
+        ck.save("model_final", jax.device_get(state.params),
+                jax.device_get(state.opt_state), cfg.train.max_iter)
+
+    return state
+
+
+def main():
+    args = parse_args()
+    from odise_tpu.config import apply_overrides, auto_scale_workers, load_config
+    import jax
+
+    cfg = load_config(args.config_file)
+    if args.output:
+        cfg.train.output_dir = args.output
+    if args.tag:
+        cfg.train.run_tag = args.tag
+    if args.ref > 0:
+        cfg.train.reference_world_size = args.ref
+    cfg = auto_scale_workers(cfg, len(jax.devices()))
+    if args.opts:
+        apply_overrides(cfg, [o for o in args.opts if "=" in o])
+    default_setup(cfg, args)
+
+    if args.eval_only:
+        from odise_tpu.config import instantiate_odise, resolve
+        import jax.numpy as jnp
+
+        cfg = resolve(cfg)
+        model = instantiate_odise(cfg.model)
+        labels = model.train_labels
+        flat = [t for g in labels for t in g]
+        init_img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(0), init_img,
+            jnp.zeros((len(flat), model.category_head.clip_dim)), labels,
+            method=type(model).forward_train)
+        if args.init_from:
+            from odise_tpu.engine.checkpoint import Checkpointer
+
+            ck = Checkpointer(os.path.dirname(args.init_from) or ".")
+            params, _, _, _ = ck.load(args.init_from, variables["params"])
+            variables = {"params": params}
+        do_test(cfg, model, variables, max_images=args.max_eval_images)
+    else:
+        do_train(args, cfg)
+
+
+if __name__ == "__main__":
+    main()
