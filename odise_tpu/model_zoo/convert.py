@@ -303,3 +303,148 @@ def install_clip_weights(params: dict, clip_state: Mapping,
             "logit_scale": np.asarray(clip_state["logit_scale"]),
         }})
     return out
+
+
+# ---------------------------------------------------------------------------
+# Released ODISE checkpoints (the ~28M trainable params)
+# ---------------------------------------------------------------------------
+
+
+def _mha_packed(sd: Mapping, tree: dict, src: str, dst: str) -> None:
+    """torch nn.MultiheadAttention (packed qkv) -> separate q/k/v/out Dense."""
+    w = np.asarray(sd[f"{src}.in_proj_weight"])
+    b = np.asarray(sd[f"{src}.in_proj_bias"])
+    C = w.shape[1]
+    for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+        _set(tree, f"{dst}/{name}/kernel", w[i * C:(i + 1) * C].transpose(1, 0))
+        _set(tree, f"{dst}/{name}/bias", b[i * C:(i + 1) * C])
+    _lin(sd, tree, f"{src}.out_proj", f"{dst}/out_proj")
+
+
+def _d2_conv_gn(sd: Mapping, tree: dict, src: str, dst_conv: str,
+                dst_norm: str) -> None:
+    """d2 Conv2d with attached .norm (GroupNorm)."""
+    _conv(sd, tree, src, dst_conv)
+    if f"{src}.norm.weight" in sd:
+        _set(tree, f"{dst_norm}/scale", sd[f"{src}.norm.weight"])
+        _set(tree, f"{dst_norm}/bias", sd[f"{src}.norm.bias"])
+
+
+def convert_odise_trainable(sd: Mapping, num_projections: int = 8,
+                            enc_layers: int = 6, dec_layers: int = 9,
+                            fpn_steps: int = 1, mlp_layers: int = 3) -> dict:
+    """Reference ODISE checkpoint (trainable subset) -> flax param tree.
+
+    Maps the reference module names (FeatureExtractorBackbone projections,
+    MSDeformAttnPixelDecoder, ODISEMultiScaleMaskedTransformerDecoder with
+    PooledMaskEmbed, CategoryEmbed/WordEmbed, implicit-captioner projections)
+    onto this framework's param paths. Frozen SD/CLIP weights are absent from
+    these checkpoints by design (reference odise_checkpointer.py:94-117).
+    """
+    tree: dict = {}
+
+    # --- backbone feature projections (d2 BottleneckBlock, GN)
+    for i in range(num_projections):
+        src = f"backbone.feature_projections.{i}.0"
+        if f"{src}.conv1.weight" not in sd:
+            continue
+        dst = f"backbone/proj_{i}"
+        _d2_conv_gn(sd, tree, f"{src}.shortcut", f"{dst}/shortcut", f"{dst}/shortcut_norm")
+        _d2_conv_gn(sd, tree, f"{src}.conv1", f"{dst}/conv1", f"{dst}/norm1")
+        _d2_conv_gn(sd, tree, f"{src}.conv2", f"{dst}/conv2", f"{dst}/norm2")
+        _d2_conv_gn(sd, tree, f"{src}.conv3", f"{dst}/conv3", f"{dst}/norm3")
+
+    # --- implicit captioner trainable pieces
+    fx = "backbone.feature_extractor"
+    cap = "backbone/feature_extractor"
+    if f"{fx}.clip_project.linear.weight" in sd:
+        _lin(sd, tree, f"{fx}.clip_project.linear", f"{cap}/clip_project/linear")
+        _set(tree, f"{cap}/clip_project/positional_embedding",
+             sd[f"{fx}.clip_project.positional_embedding"])
+    if f"{fx}.alpha_cond" in sd:
+        _set(tree, f"{cap}/alpha_cond", sd[f"{fx}.alpha_cond"])
+    if f"{fx}.time_embed_project.linear.weight" in sd:
+        _lin(sd, tree, f"{fx}.time_embed_project.linear",
+             f"{cap}/time_embed_project/linear")
+        _set(tree, f"{cap}/time_embed_project/positional_embedding",
+             sd[f"{fx}.time_embed_project.positional_embedding"])
+        _set(tree, f"{cap}/alpha_cond_time_embed", sd[f"{fx}.alpha_cond_time_embed"])
+
+    # --- pixel decoder
+    pd = "sem_seg_head.pixel_decoder"
+    dpd = "sem_seg_head/pixel_decoder"
+    for i in range(3):
+        if f"{pd}.input_proj.{i}.0.weight" in sd:
+            _conv(sd, tree, f"{pd}.input_proj.{i}.0", f"{dpd}/input_proj_{i}")
+            _set(tree, f"{dpd}/input_proj_norm_{i}/scale",
+                 sd[f"{pd}.input_proj.{i}.1.weight"])
+            _set(tree, f"{dpd}/input_proj_norm_{i}/bias",
+                 sd[f"{pd}.input_proj.{i}.1.bias"])
+    if f"{pd}.transformer.level_embed" in sd:
+        _set(tree, f"{dpd}/level_embed", sd[f"{pd}.transformer.level_embed"])
+    for i in range(enc_layers):
+        src = f"{pd}.transformer.encoder.layers.{i}"
+        dst = f"{dpd}/encoder_layer_{i}"
+        for n in ("sampling_offsets", "attention_weights", "value_proj",
+                  "output_proj"):
+            _lin(sd, tree, f"{src}.self_attn.{n}", f"{dst}/self_attn/{n}")
+        _lin(sd, tree, f"{src}.linear1", f"{dst}/linear1")
+        _lin(sd, tree, f"{src}.linear2", f"{dst}/linear2")
+        _norm(sd, tree, f"{src}.norm1", f"{dst}/norm1")
+        _norm(sd, tree, f"{src}.norm2", f"{dst}/norm2")
+    for j in range(fpn_steps):
+        _d2_conv_gn(sd, tree, f"{pd}.lateral_convs.{j}", f"{dpd}/lateral_{j}",
+                    f"{dpd}/lateral_norm_{j}")
+        _d2_conv_gn(sd, tree, f"{pd}.output_convs.{j}", f"{dpd}/output_conv_{j}",
+                    f"{dpd}/output_norm_{j}")
+    if f"{pd}.mask_features.weight" in sd:
+        _conv(sd, tree, f"{pd}.mask_features", f"{dpd}/mask_features")
+
+    # --- transformer decoder (predictor)
+    pr = "sem_seg_head.predictor"
+    dpr = "sem_seg_head/transformer_predictor"
+    for name in ("query_feat", "query_embed", "level_embed"):
+        if f"{pr}.{name}.weight" in sd:
+            _set(tree, f"{dpr}/{name}", sd[f"{pr}.{name}.weight"])
+    for i in range(dec_layers):
+        _mha_packed(sd, tree,
+                    f"{pr}.transformer_cross_attention_layers.{i}.multihead_attn",
+                    f"{dpr}/cross_{i}/attn")
+        _norm(sd, tree, f"{pr}.transformer_cross_attention_layers.{i}.norm",
+              f"{dpr}/cross_{i}/norm")
+        _mha_packed(sd, tree,
+                    f"{pr}.transformer_self_attention_layers.{i}.self_attn",
+                    f"{dpr}/self_{i}/attn")
+        _norm(sd, tree, f"{pr}.transformer_self_attention_layers.{i}.norm",
+              f"{dpr}/self_{i}/norm")
+        _lin(sd, tree, f"{pr}.transformer_ffn_layers.{i}.linear1",
+             f"{dpr}/ffn_{i}/linear1")
+        _lin(sd, tree, f"{pr}.transformer_ffn_layers.{i}.linear2",
+             f"{dpr}/ffn_{i}/linear2")
+        _norm(sd, tree, f"{pr}.transformer_ffn_layers.{i}.norm",
+              f"{dpr}/ffn_{i}/norm")
+    _norm(sd, tree, f"{pr}.decoder_norm", f"{dpr}/decoder_norm")
+    for i in range(mlp_layers):
+        if f"{pr}.mask_embed.layers.{i}.weight" in sd:
+            _lin(sd, tree, f"{pr}.mask_embed.layers.{i}",
+                 f"{dpr}/mask_embed_mlp/layer_{i}")
+    # PooledMaskEmbed
+    pme = f"{pr}.post_mask_embed"
+    dpme = f"{dpr}/post_mask_embed"
+    if f"{pme}.pool_proj.0.weight" in sd:
+        _norm(sd, tree, f"{pme}.pool_proj.0", f"{dpme}/pool_norm")
+        _lin(sd, tree, f"{pme}.pool_proj.1", f"{dpme}/pool_proj")
+        _norm(sd, tree, f"{pme}.mask_embed.0", f"{dpme}/embed_norm")
+        for i in range(mlp_layers):
+            _lin(sd, tree, f"{pme}.mask_embed.1.layers.{i}",
+                 f"{dpme}/embed_mlp/layer_{i}")
+        _set(tree, f"{dpme}/logit_scale", sd[f"{pme}.logit_scale"])
+
+    # --- category / word heads
+    if "category_head.text_proj.weight" in sd:
+        _lin(sd, tree, "category_head.text_proj", "category_head/text_proj")
+        _set(tree, "category_head/null_embed", sd["category_head.null_embed"])
+    if "word_head.text_proj.weight" in sd:
+        _lin(sd, tree, "word_head.text_proj", "word_head/word_proj")
+
+    return tree
