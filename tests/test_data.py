@@ -1,0 +1,132 @@
+"""Data pipeline tests: transforms, rgb2id, mapper, loader, prompts."""
+
+import numpy as np
+
+from odise_tpu.data.build import get_openseg_labels, prompt_labels
+from odise_tpu.data.dataset_mapper import COCOPanopticDatasetMapper, collate
+from odise_tpu.data.loader import build_test_loader, build_train_loader
+from odise_tpu.data.transforms import (
+    AugInput,
+    FixedSizeCrop,
+    RandomFlip,
+    ResizeScale,
+    ResizeShortestEdge,
+    id2rgb,
+    rgb2id,
+)
+
+
+def test_openseg_labels_counts():
+    assert len(get_openseg_labels("coco_panoptic")) == 133
+    assert len(get_openseg_labels("ade20k_150")) == 150
+    assert len(get_openseg_labels("ade20k_847")) == 847
+    assert len(get_openseg_labels("pascal_context_59")) == 59
+    assert len(get_openseg_labels("pascal_context_459")) == 459
+    assert len(get_openseg_labels("pascal_voc_21")) == 21
+    assert len(get_openseg_labels("lvis_1203")) == 1203
+    # prompt-engineered coco has synonym lists
+    pe = get_openseg_labels("coco_panoptic", True)
+    assert any(len(l) > 1 for l in pe)
+
+
+def test_prompt_labels():
+    out = prompt_labels([["cat", "kitty"], ["sky"]], "photo")
+    assert out == [["a photo of a cat.", "a photo of a kitty."],
+                   ["a photo of a sky."]]
+    assert prompt_labels([["x"]], None) == [["x"]]
+
+
+def test_rgb2id_roundtrip():
+    ids = np.array([[0, 1], [256, 70000]], np.uint32)
+    rgb = id2rgb(ids)
+    np.testing.assert_array_equal(rgb2id(rgb), ids)
+
+
+def test_transforms_shapes():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (60, 80, 3), np.uint8)
+    seg = rng.randint(0, 10, (60, 80), np.int32)
+    ai = AugInput(image=img, pan_seg=seg)
+    ai = RandomFlip(prob=1.0)(ai, rng)
+    np.testing.assert_array_equal(ai.image, img[:, ::-1])
+    ai = ResizeScale(0.5, 0.5, 64, 64)(ai, rng)
+    assert min(ai.image.shape[:2]) <= 32
+    ai = FixedSizeCrop((64, 64))(ai, rng)
+    assert ai.image.shape == (64, 64, 3)
+    assert ai.pan_seg.shape == (64, 64)
+
+
+def test_resize_shortest_edge_max_cap():
+    ai = AugInput(image=np.zeros((100, 400, 3), np.uint8))
+    ai = ResizeShortestEdge(64, max_size=128)(ai)
+    assert max(ai.image.shape[:2]) <= 128
+
+
+def _synthetic_record(seed=0, size=96):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 255, (size, size, 3), np.uint8)
+    pan = np.zeros((size, size), np.uint32)
+    pan[: size // 2] = 1
+    pan[size // 2:] = 2
+    return {
+        "image": img,
+        "pan_seg": pan,
+        "segments_info": [
+            {"id": 1, "category_id": 3, "iscrowd": 0},
+            {"id": 2, "category_id": 7, "iscrowd": 0},
+        ],
+        "captions": ["a cat sitting on grass"],
+    }
+
+
+def test_mapper_fixed_shapes():
+    mapper = COCOPanopticDatasetMapper(is_train=True, image_size=64,
+                                       max_instances=5)
+    out = mapper(_synthetic_record(), rng=np.random.RandomState(1))
+    assert out["image"].shape == (64, 64, 3)
+    assert out["image"].dtype == np.float32 and out["image"].max() <= 1.0
+    assert out["gt_masks"].shape == (5, 64, 64)
+    assert out["gt_valid"].sum() <= 2
+    # valid targets have non-empty masks and correct labels
+    for i in range(5):
+        if out["gt_valid"][i]:
+            assert out["gt_masks"][i].any()
+            assert out["gt_labels"][i] in (3, 7)
+
+
+def test_mapper_caption_words():
+    mapper = COCOPanopticDatasetMapper(is_train=True, image_size=64,
+                                       max_instances=5, with_captions=True,
+                                       num_words=4)
+    out = mapper(_synthetic_record(), rng=np.random.RandomState(1))
+    assert out["word_tokens"].shape == (4, 77)
+    assert out["word_valid"].shape == (4,)
+    assert out["word_valid"].any()
+
+
+def test_train_loader_batches():
+    records = [_synthetic_record(i) for i in range(6)]
+    mapper = COCOPanopticDatasetMapper(is_train=True, image_size=32,
+                                       max_instances=3)
+    it = build_train_loader(records, mapper, total_batch_size=4)
+    batch = next(it)
+    assert batch["image"].shape == (4, 32, 32, 3)
+    assert batch["gt_masks"].shape == (4, 3, 32, 32)
+    batch2 = next(it)  # infinite
+    assert batch2["image"].shape == (4, 32, 32, 3)
+
+
+def test_train_loader_host_sharding():
+    records = [_synthetic_record(i) for i in range(8)]
+    mapper = COCOPanopticDatasetMapper(is_train=True, image_size=32,
+                                       max_instances=2, seed=0)
+    b0 = next(build_train_loader(records, mapper, 4, num_hosts=2, host_id=0))
+    b1 = next(build_train_loader(records, mapper, 4, num_hosts=2, host_id=1))
+    assert b0["image"].shape == (2, 32, 32, 3)
+    assert not np.array_equal(b0["image"], b1["image"])
+
+
+def test_test_loader():
+    records = [_synthetic_record(i) for i in range(3)]
+    batches = list(build_test_loader(records, limit=2))
+    assert len(batches) == 2 and len(batches[0]) == 1
