@@ -23,9 +23,9 @@ IOU_THRS = np.arange(0.5, 1.0, 0.05)
 
 
 def mask_iou(pred: np.ndarray, gt: np.ndarray) -> float:
-    inter = np.logical_and(pred, gt).sum()
-    union = np.logical_or(pred, gt).sum()
-    return inter / union if union else 0.0
+    from ..native import mask_iou as _native_iou
+
+    return _native_iou(pred, gt)
 
 
 class InstanceSegEvaluator:

@@ -79,12 +79,13 @@ def pq_compute_single(
     gt_area = dict(zip(gt_ids.tolist(), gt_areas.tolist()))
     pred_area = dict(zip(pred_ids.tolist(), pred_areas.tolist()))
 
-    # intersections via combined key
-    combined = gt_seg.astype(np.uint64) * (2 ** 32) + pred_seg.astype(np.uint64)
-    pairs, counts = np.unique(combined, return_counts=True)
-    inter: Dict[Tuple[int, int], int] = {}
-    for p, c in zip(pairs.tolist(), counts.tolist()):
-        inter[(p // 2 ** 32, p % 2 ** 32)] = c
+    # intersections via the native pair counter (numpy fallback inside)
+    from ..native import pq_intersections
+
+    g_ids, p_ids, cnts = pq_intersections(gt_seg, pred_seg)
+    inter: Dict[Tuple[int, int], int] = {
+        (int(g), int(p)): int(c) for g, p, c in zip(g_ids, p_ids, cnts)
+    }
 
     matched_gt, matched_pred = set(), set()
     for (gid, pid), c in inter.items():
