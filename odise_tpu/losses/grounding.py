@@ -27,7 +27,9 @@ class GroundingConfig:
 
 
 def _normalize(x):
-    return x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    from ..models.helper import l2_normalize
+
+    return l2_normalize(x)
 
 
 def _one_layer_loss(outputs, word_valid_mask, cfg, axis_name):

@@ -334,9 +334,10 @@ class LdmImplicitCaptionerExtractor(nn.Module):
         # CLIP image embed (normalized, fp32 -> compute dtype)
         prep = clip_preprocess(img, self.clip_image_size).astype(self.dtype)
         image_embed, _ = self.clip_visual(prep)
+        from ..helper import l2_normalize
+
         image_embed = jax.lax.stop_gradient(image_embed)
-        image_embed = image_embed / jnp.clip(
-            jnp.linalg.norm(image_embed, axis=-1, keepdims=True), 1e-12)
+        image_embed = l2_normalize(image_embed)
         image_embed = image_embed.astype(self.dtype)
 
         prefix_embed = self.clip_project(image_embed)  # [B, 77, ctx]

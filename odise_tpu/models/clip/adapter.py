@@ -62,8 +62,9 @@ def embed_image(visual_apply, image: jnp.ndarray, image_size: int,
     th, tw = image_size // 16, image_size // 16
     enc = jax.image.resize(enc, (B, th, tw, D), method="bilinear")
     if normalize:
-        img_embed = img_embed / jnp.clip(
-            jnp.linalg.norm(img_embed, axis=-1, keepdims=True), 1e-12)
+        from ..helper import l2_normalize
+
+        img_embed = l2_normalize(img_embed)
     return EmbeddedImage(img_embed.astype(jnp.float32), enc)
 
 
@@ -76,8 +77,9 @@ def embed_text(text_apply, tokens: jnp.ndarray, normalize: bool = True) -> Embed
     text_embed, text_encodings = text_apply(tokens)
     text_embed = text_embed.astype(jnp.float32)
     if normalize:
-        text_embed = text_embed / jnp.clip(
-            jnp.linalg.norm(text_embed, axis=-1, keepdims=True), 1e-12)
+        from ..helper import l2_normalize
+
+        text_embed = l2_normalize(text_embed)
     return EmbeddedText(text_embed, text_encodings.astype(jnp.float32), text_mask)
 
 
@@ -100,7 +102,9 @@ def build_text_embed(text_apply, labels, batch_size: int = 256,
         outs.append(np.asarray(emb, dtype=np.float32))
     out = jnp.asarray(np.concatenate(outs, axis=0))
     if normalize:
-        out = out / jnp.clip(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+        from ..helper import l2_normalize
+
+        out = l2_normalize(out)
     return out
 
 

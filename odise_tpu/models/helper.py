@@ -68,3 +68,9 @@ def resize_mask(masks: jnp.ndarray, size, *, method: str = "bilinear") -> jnp.nd
     """Resize [B, Q, H, W] masks to [B, Q, h, w]."""
     B, Q = masks.shape[:2]
     return jax.image.resize(masks, (B, Q, size[0], size[1]), method=method)
+
+
+def l2_normalize(x, axis: int = -1, eps: float = 1e-12):
+    """NaN-safe L2 normalization: finite gradient even at exactly-zero input
+    (x / ||x|| has a NaN gradient at 0; rsqrt(sum(x^2)+eps) does not)."""
+    return x * jax.lax.rsqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True) + eps)

@@ -32,20 +32,17 @@ import numpy as np
 
 from .clip.adapter import build_mask_attn_mask, clip_preprocess
 from .clip.model import TextTransformer, VisionTransformer
-from .helper import ensemble_logits_with_labels
+from .helper import ensemble_logits_with_labels, l2_normalize
 
 
 def cal_pred_logits(mask_embed, text_embed, null_embed, logit_scale, labels):
     """Cosine classification with synonym ensembling + null column
     (reference odise.py:181-207). labels: static list of synonym lists."""
-    mask_embed = mask_embed / jnp.clip(
-        jnp.linalg.norm(mask_embed, axis=-1, keepdims=True), 1e-12)
-    text_embed = text_embed / jnp.clip(
-        jnp.linalg.norm(text_embed, axis=-1, keepdims=True), 1e-12)
+    mask_embed = l2_normalize(mask_embed)
+    text_embed = l2_normalize(text_embed)
     pred = logit_scale * jnp.einsum("bqc,kc->bqk", mask_embed, text_embed)
     pred = ensemble_logits_with_labels(pred, labels, ensemble_method="max")
-    null_embed = null_embed / jnp.clip(
-        jnp.linalg.norm(null_embed, axis=-1, keepdims=True), 1e-12)
+    null_embed = l2_normalize(null_embed)
     null_pred = logit_scale * jnp.einsum("bqc,kc->bqk", mask_embed, null_embed)
     return jnp.concatenate([pred, null_pred], axis=-1)
 
@@ -146,8 +143,8 @@ class PoolingCLIPHead(nn.Module):
         """
         mask_embed = self.get_mask_embed(images, pred_masks)
         # MaskCLIP pred_logits (reference clip.py:340-350)
-        me = mask_embed / jnp.clip(jnp.linalg.norm(mask_embed, axis=-1, keepdims=True), 1e-12)
-        te = text_embed / jnp.clip(jnp.linalg.norm(text_embed, axis=-1, keepdims=True), 1e-12)
+        me = l2_normalize(mask_embed)
+        te = l2_normalize(text_embed)
         scale = jnp.clip(jnp.exp(self.logit_scale), a_max=100.0)
         mask_pred_open_logits = scale * jnp.einsum("bqc,kc->bqk", me, te.astype(me.dtype))
         mask_pred_open_logits = ensemble_logits_with_labels(
@@ -360,9 +357,8 @@ class CaptionODISE(nn.Module):
         word = self.word_head(text_embed_raw[None])  # project vocab like words
         word_embed = word["word_embed"][0]
         # cosine open logits with the projected vocabulary
-        me = outputs["mask_embed"]
-        me = me / jnp.clip(jnp.linalg.norm(me, axis=-1, keepdims=True), 1e-12)
-        te = word_embed / jnp.clip(jnp.linalg.norm(word_embed, axis=-1, keepdims=True), 1e-12)
+        me = l2_normalize(outputs["mask_embed"])
+        te = l2_normalize(word_embed)
         open_logits = outputs["logit_scale"] * jnp.einsum("bqc,kc->bqk", me, te)
         open_logits = ensemble_logits_with_labels(open_logits, labels, "max")
 
