@@ -379,3 +379,53 @@ class CaptionODISE(nn.Module):
         mask_pred = jax.image.resize(mask_pred.astype(jnp.float32), (B, Q, H, W),
                                      method="bilinear")
         return mask_cls, mask_pred
+
+
+class CLIPOpenClassEmbed(nn.Module):
+    """Alternative classification head projecting text or image modality into
+    a shared space (reference odise.py:1310-1419; not used by shipped configs
+    but part of the capability surface).
+
+    ``__call__(x, text_embed_raw)`` -> [B, Q, K(+1)] logits with synonym
+    ensembling; ``labels`` is the static grouping attribute.
+    """
+
+    labels: Tuple[Tuple[str, ...], ...]
+    hidden_dim: int
+    projection_modality: str = "text"  # "text" | "image"
+    with_null_embed: bool = True
+    temperature: float = 0.07
+    ensemble_method: str = "max"
+    clip_dim: int = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, text_embed_raw: jnp.ndarray) -> jnp.ndarray:
+        assert self.projection_modality in ("text", "image")
+        logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(np.log(1 / self.temperature)), ())
+        logit_scale = jnp.clip(jnp.exp(logit_scale), a_max=100.0)
+        null_embed = (self.param("null_embed", nn.initializers.normal(0.02),
+                                 (1, self.clip_dim))
+                      if self.with_null_embed else None)
+        if self.projection_modality == "text":
+            proj = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
+                            name="embed_projection")
+            text_embed = proj(text_embed_raw.astype(self.dtype))
+            null = proj(null_embed.astype(self.dtype)) if null_embed is not None else None
+        else:
+            proj = nn.Dense(self.clip_dim, use_bias=False, dtype=self.dtype,
+                            name="embed_projection")
+            x = proj(x)
+            text_embed = text_embed_raw
+            null = null_embed
+        x = l2_normalize(x)
+        text_embed = l2_normalize(text_embed)
+        pred = logit_scale * jnp.einsum("bqc,kc->bqk", x, text_embed.astype(x.dtype))
+        pred = ensemble_logits_with_labels(pred, self.labels, self.ensemble_method)
+        if null is not None:
+            null = l2_normalize(null)
+            null_pred = logit_scale * jnp.einsum("bqc,kc->bqk", x,
+                                                 null.astype(x.dtype))
+            pred = jnp.concatenate([pred, null_pred], axis=-1)
+        return pred
