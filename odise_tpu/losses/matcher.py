@@ -78,8 +78,13 @@ def hungarian_match(
         cm = batch_sigmoid_ce_cost(pred_pts, tgt_pts)
         cd = batch_dice_cost(pred_pts, tgt_pts)
         cost = cost_class * cc + cost_mask * cm + cost_dice * cd
-        # invalid targets get a huge constant cost so they never steal queries
-        cost = jnp.where(valid[None, :], cost, 1e6)
+        # Invalid targets cost slightly more than any real entry. The penalty
+        # must stay on the data's scale: a huge constant (e.g. 1e6) would blow
+        # up the auction's bidding increment (eps ~ cost range) and destroy
+        # assignment precision for the real entries.
+        real_max = jnp.max(jnp.where(valid[None, :], cost, -jnp.inf))
+        real_max = jnp.where(jnp.isfinite(real_max), real_max, 0.0)
+        cost = jnp.where(valid[None, :], cost, real_max + 1.0)
         col_of_row = linear_sum_assignment(cost)  # [Q], values in [0, Q)
         # invert: for each target t, the query assigned to it
         matched_q = jnp.full((T,), 0, jnp.int32)

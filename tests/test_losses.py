@@ -54,12 +54,14 @@ def test_set_criterion_runs_and_perfect_prediction_is_lower():
                            "loss_ce_0", "loss_mask_0", "loss_dice_0"}
     assert all(bool(jnp.isfinite(v)) for v in losses.values())
 
-    # perfect predictions: masks = gt (as +-10 logits), classes exact
+    # perfect predictions: masks = gt (as +-10 logits), classes exact for
+    # valid targets, no-object for padding queries
     B, T, H, W = gt_masks.shape
     K = 3
     Q = T
     perfect_masks = (gt_masks * 20 - 10)
-    perfect_logits = jax.nn.one_hot(gt_labels, K + 1) * 20
+    cls_target = jnp.where(gt_valid, gt_labels, K)  # invalid -> no-object
+    perfect_logits = jax.nn.one_hot(cls_target, K + 1) * 20
     outputs2 = {"pred_logits": perfect_logits, "pred_masks": perfect_masks}
     losses2 = set_criterion(outputs2, targets, jax.random.PRNGKey(0),
                             CriterionConfig(num_classes=3, num_points=128,
