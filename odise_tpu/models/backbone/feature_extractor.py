@@ -371,9 +371,13 @@ class BottleneckProjection(nn.Module):
             return nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=jnp.float32,
                                 name=name)(h.astype(jnp.float32)).astype(h.dtype)
 
-        shortcut = nn.Conv(self.out_channels, (1, 1), use_bias=False,
-                           dtype=self.dtype, name="shortcut")(x)
-        shortcut = gn(shortcut, "shortcut_norm")
+        if x.shape[-1] == self.out_channels:
+            # d2 BottleneckBlock omits the shortcut conv when channels match
+            shortcut = x
+        else:
+            shortcut = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                               dtype=self.dtype, name="shortcut")(x)
+            shortcut = gn(shortcut, "shortcut_norm")
         h = nn.Conv(self.bottleneck_channels, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         h = nn.relu(gn(h, "norm1"))
