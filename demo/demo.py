@@ -28,7 +28,8 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--config-file", default="configs/Panoptic/odise_label_coco_50e.py")
-    p.add_argument("--input", required=True, nargs="+")
+    p.add_argument("--input", nargs="+", default=[])
+    p.add_argument("--video-input", default="", help="video file (or webcam id)")
     p.add_argument("--output", default="demo_out")
     p.add_argument("--vocab", default="",
                    help="semicolon-separated synonym lists, comma within")
@@ -136,6 +137,45 @@ def main():
     infer = OpenPanopticInference(model, variables, vocab)
 
     os.makedirs(args.output, exist_ok=True)
+
+    if args.video_input:
+        # frame-by-frame video demo (reference demo/demo.py webcam/video path)
+        import cv2
+
+        src = int(args.video_input) if args.video_input.isdigit() else args.video_input
+        cap = cv2.VideoCapture(src)
+        writer = None
+        S = args.image_size
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            img = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            scale = S / min(img.shape[:2])
+            nh, nw = int(img.shape[0] * scale + 0.5), int(img.shape[1] * scale + 0.5)
+            resized = cv2.resize(img, (nw, nh))
+            h64, w64 = -(-nh // 64) * 64, -(-nw // 64) * 64
+            padded = np.zeros((1, h64, w64, 3), np.float32)
+            padded[0, :nh, :nw] = resized.astype(np.float32) / 255.0
+            mask_cls, mask_pred = infer(jnp.asarray(padded))
+            pan = panoptic_inference(mask_cls[0], mask_pred[0],
+                                     jnp.asarray(vocab.thing_mask),
+                                     object_mask_threshold=0.0,
+                                     overlap_threshold=cfg.model.overlap_threshold)
+            seg = np.asarray(pan.panoptic_seg)[:nh, :nw]
+            overlay = (0.5 * resized + 0.5 * colorize(seg)).astype(np.uint8)
+            if writer is None:
+                out_path = os.path.join(args.output, "video_out.mp4")
+                writer = cv2.VideoWriter(out_path,
+                                         cv2.VideoWriter_fourcc(*"mp4v"),
+                                         cap.get(cv2.CAP_PROP_FPS) or 24,
+                                         (nw, nh))
+            writer.write(cv2.cvtColor(overlay, cv2.COLOR_RGB2BGR))
+        if writer is not None:
+            writer.release()
+        cap.release()
+        return
+
     for path in args.input:
         img = np.asarray(Image.open(path).convert("RGB"))
         S = args.image_size
