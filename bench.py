@@ -63,23 +63,37 @@ def main():
         pan = jax.vmap(lambda c, m: panoptic_inference(
             c, m, thing_mask, object_mask_threshold=0.0, overlap_threshold=0.8)
         )(mask_cls, mask_pred)
-        return sem, pan.panoptic_seg, pan.num_segments
+        # scalar checksum: forces real execution each iteration when fetched
+        # (block_until_ready alone is not a reliable barrier through the axon
+        # TPU relay); panoptic map stays on device otherwise.
+        return (jnp.sum(sem.astype(jnp.float32))
+                + jnp.sum(pan.panoptic_seg) + jnp.sum(pan.num_segments))
+
+    # relay round-trip floor (subtracted: a tunnel artifact, not device time)
+    @jax.jit
+    def tiny(x):
+        return jnp.sum(x[:, 0, 0, 0])
+
+    float(tiny(img))
+    t0 = time.perf_counter()
+    for _ in range(6):
+        float(tiny(img))
+    rtt = (time.perf_counter() - t0) / 6
 
     t_compile0 = time.perf_counter()
-    out = eval_step(variables, img, text_raw, clip_text, overlap)
-    jax.block_until_ready(out)
+    float(eval_step(variables, img, text_raw, clip_text, overlap))
     compile_s = time.perf_counter() - t_compile0
 
     for _ in range(args.warmup):
-        jax.block_until_ready(eval_step(variables, img, text_raw, clip_text, overlap))
+        float(eval_step(variables, img, text_raw, clip_text, overlap))
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = eval_step(variables, img, text_raw, clip_text, overlap)
-    jax.block_until_ready(out)
+        float(eval_step(variables, img, text_raw, clip_text, overlap))
     dt = time.perf_counter() - t0
+    per_iter = max(dt / args.iters - rtt, 1e-6)
 
-    imgs_per_sec = args.iters * B / dt
+    imgs_per_sec = B / per_iter
     print(json.dumps({
         "metric": "img_per_sec_per_chip_1024px_open_vocab_panoptic_inference",
         "value": round(imgs_per_sec, 4),
@@ -90,6 +104,8 @@ def main():
             "batch": B,
             "clip_head": not args.no_clip_head,
             "compile_s": round(compile_s, 1),
+            "relay_rtt_ms": round(rtt * 1000, 1),
+            "step_ms": round(per_iter * 1000, 1),
             "device": str(jax.devices()[0]),
         },
     }))
