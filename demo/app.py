@@ -29,8 +29,8 @@ def build_inference(config_file: str, init_from: str = ""):
     flat = [t for g in train_labels for t in g]
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
-        jnp.zeros((len(flat), model.category_head.clip_dim)), train_labels,
-        method=type(model).forward_train)
+        jnp.zeros((len(flat), model.category_head.clip_dim)),
+        method=type(model).init_full)
     return model, variables
 
 

@@ -110,8 +110,8 @@ def main():
     flat = [t for g in train_labels for t in g]
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
-        jnp.zeros((len(flat), model.category_head.clip_dim)), train_labels,
-        method=type(model).forward_train)
+        jnp.zeros((len(flat), model.category_head.clip_dim)),
+        method=type(model).init_full)
     if args.init_from:
         from odise_tpu.engine.checkpoint import Checkpointer
         from odise_tpu.model_zoo.convert import load_torch_state_dict

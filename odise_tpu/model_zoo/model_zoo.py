@@ -60,13 +60,13 @@ def get(config_path: str, trained: bool = False, init_rng_seed: int = 0):
     if hasattr(model, "category_head") and model.category_head is not None:
         variables = model.init(
             jax.random.PRNGKey(init_rng_seed), init_img,
-            jnp.zeros((len(flat), clip_dim)), labels,
-            method=type(model).forward_train)
+            jnp.zeros((len(flat), clip_dim)),
+            method=type(model).init_full)
     else:
         variables = model.init(
             jax.random.PRNGKey(init_rng_seed), init_img,
             jnp.zeros((1, 1, 77), jnp.int32),
-            method=type(model).forward_train)
+            method=type(model).init_full)
 
     if trained:
         from .convert import load_torch_state_dict

@@ -241,6 +241,24 @@ class CategoryODISE(nn.Module):
         outputs["aux_outputs"] = [with_logits(a) for a in outputs["aux_outputs"]]
         return outputs
 
+
+    def init_full(self, images: jnp.ndarray, text_embed_raw: jnp.ndarray):
+        """Initialization entry point touching EVERY submodule (flax creates
+        params only for modules actually called; forward_train skips the
+        clip_head and forward_eval skips the text tower)."""
+        tokens = jnp.zeros((1, 77), jnp.int32)
+        _ = self.encode_vocab(tokens)
+        outputs = self.forward_train(images, text_embed_raw)
+        if self.clip_head is not None:
+            K = text_embed_raw.shape[0]
+            labels = tuple((f"_init_{i}",) for i in range(K))
+            clip_text = jnp.zeros((K, self.clip_head.embed_dim), jnp.float32)
+            overlap = jnp.zeros((K,), jnp.int32)
+            _ = self.clip_head(images, outputs["pred_masks"],
+                               outputs["pred_logits"][..., :-1], clip_text,
+                               labels, overlap)
+        return outputs
+
     def forward_eval(
         self,
         images: jnp.ndarray,
@@ -342,6 +360,20 @@ class CaptionODISE(nn.Module):
         outputs.update(self.word_head(word_embed_raw))
         for aux in outputs["aux_outputs"]:
             aux["word_embed"] = outputs["word_embed"]
+        return outputs
+
+
+    def init_full(self, images: jnp.ndarray, word_tokens: jnp.ndarray):
+        """Init entry point touching every submodule (see CategoryODISE)."""
+        outputs = self.forward_train(images, word_tokens)
+        if self.clip_head is not None:
+            K = 2
+            labels = tuple((f"_init_{i}",) for i in range(K))
+            clip_text = jnp.zeros((K, self.clip_head.embed_dim), jnp.float32)
+            overlap = jnp.zeros((K,), jnp.int32)
+            _ = self.clip_head(images, outputs["pred_masks"],
+                               jnp.zeros(outputs["pred_masks"].shape[:2] + (K,)),
+                               clip_text, labels, overlap)
         return outputs
 
     def forward_eval(self, images, text_embed_raw, labels,

@@ -1,0 +1,56 @@
+"""Open-vocabulary wrapper: bundle building + bound inference (tiny model)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from odise_tpu.model_zoo.factory import build_category_odise
+from odise_tpu.models.odise import category_overlapping_mask
+from odise_tpu.models.wrapper import OpenPanopticInference, build_open_vocabulary
+
+TRAIN_LABELS = (("cat",), ("dog",), ("grass",))
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = build_category_odise("tiny", train_labels=TRAIN_LABELS,
+                                 with_clip_head=True, use_checkpoint=False,
+                                 slide_training=True)
+    img = jnp.zeros((1, 64, 64, 3))
+    text_raw = jnp.zeros((3, 16))
+    variables = model.init(jax.random.PRNGKey(0), img, text_raw,
+                           method=type(model).init_full)
+    return model, variables
+
+
+def test_category_overlap_mask():
+    test_labels = (("cat", "kitty"), ("zebra",), ("grass",))
+    m = category_overlapping_mask(TRAIN_LABELS, test_labels)
+    np.testing.assert_array_equal(m, [1, 0, 1])
+
+
+def test_build_vocab_and_infer(model_and_vars):
+    model, variables = model_and_vars
+    test_labels = [["cat", "kitty"], ["zebra"], ["grass"], ["sky"]]
+    vocab = build_open_vocabulary(model, variables, test_labels,
+                                  train_labels=TRAIN_LABELS,
+                                  thing_mask=np.array([1, 1, 0, 0], bool))
+    assert vocab.text_embed_raw.shape == (5, 16)  # 5 flat synonyms
+    assert vocab.clip_text_embed is not None
+    assert len(vocab.clip_labels) == 4
+    np.testing.assert_array_equal(np.asarray(vocab.category_overlap), [1, 0, 1, 0])
+
+    infer = OpenPanopticInference(model, variables, vocab)
+    mask_cls, mask_pred = infer(jnp.full((1, 64, 64, 3), 0.5))
+    assert mask_cls.shape == (1, model.num_queries, 5)  # K=4 + null
+    assert mask_pred.shape == (1, model.num_queries, 64, 64)
+    assert bool(jnp.isfinite(mask_cls).all())
+
+    # a second vocabulary = a second independent bundle (functional swap)
+    vocab2 = build_open_vocabulary(model, variables, [["dog"]],
+                                   train_labels=TRAIN_LABELS,
+                                   with_clip_head=False)
+    infer2 = OpenPanopticInference(model, variables, vocab2)
+    mask_cls2, _ = infer2(jnp.full((1, 64, 64, 3), 0.5))
+    assert mask_cls2.shape == (1, model.num_queries, 2)

@@ -191,8 +191,7 @@ def do_train(args, cfg):
     init_img = jnp.zeros((1,) + batch0["image"].shape[1:], jnp.float32)
     text_raw_shape = jnp.zeros((len(flat), model.category_head.clip_dim))
     variables = model.init(jax.random.PRNGKey(cfg.train.seed), init_img,
-                           text_raw_shape, labels,
-                           method=type(model).forward_train)
+                           text_raw_shape, method=type(model).init_full)
     params = shard_params(variables["params"], mesh)
 
     encode = jax.jit(lambda toks: model.apply(
@@ -281,8 +280,8 @@ def main():
         init_img = jnp.zeros((1, 64, 64, 3), jnp.float32)
         variables = model.init(
             jax.random.PRNGKey(0), init_img,
-            jnp.zeros((len(flat), model.category_head.clip_dim)), labels,
-            method=type(model).forward_train)
+            jnp.zeros((len(flat), model.category_head.clip_dim)),
+            method=type(model).init_full)
         if args.init_from:
             from odise_tpu.engine.checkpoint import Checkpointer
 
