@@ -142,3 +142,31 @@ def test_auction_lap_jits():
     f = jax.jit(lambda c: auction_lap(-c))
     col = np.asarray(f(cost))
     assert sorted(col.tolist()) == list(range(20))
+
+
+def test_ms_deform_attn_fused_matches_reference():
+    rng = np.random.RandomState(11)
+    shapes = [(6, 8), (3, 4)]
+    B, n_heads, hd, Lq, n_points = 2, 4, 8, 10, 4
+    Lv = sum(h * w for h, w in shapes)
+    value = rng.randn(B, Lv, n_heads, hd).astype(np.float32)
+    loc = rng.rand(B, Lq, n_heads, len(shapes), n_points, 2).astype(np.float32)
+    # include out-of-bounds locations to exercise zero padding
+    loc = loc * 1.4 - 0.2
+    w = rng.rand(B, Lq, n_heads, len(shapes), n_points).astype(np.float32)
+    w /= w.sum(axis=(-2, -1), keepdims=True)
+
+    ref = np.asarray(ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(loc),
+                                    jnp.asarray(w), impl="reference"))
+    fused = np.asarray(ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(loc),
+                                      jnp.asarray(w), impl="fused"))
+    np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_ms_deform_attn_fused_differentiable():
+    shapes = [(4, 4)]
+    value = jnp.ones((1, 16, 2, 4))
+    loc = jnp.full((1, 3, 2, 1, 2, 2), 0.5)
+    w = jnp.full((1, 3, 2, 1, 2), 0.5)
+    g = jax.grad(lambda v: jnp.sum(ms_deform_attn(v, shapes, loc, w) ** 2))(value)
+    assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).sum()) > 0
