@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import optax
 
 from ..losses import CriterionConfig, set_criterion
-from ..parallel.mesh import batch_sharding, replicated
 
 
 import flax.struct

@@ -139,3 +139,37 @@ def build_mask_attn_mask(mask_logits: jnp.ndarray, patch_size: int,
     attn_mask = attn_mask.at[:, :, :Q].set(True)      # no one attends to mask tokens
     attn_mask = attn_mask.at[:, :Q, -N:].set(token_masked)
     return attn_mask
+
+
+class MaskCLIP:
+    """Standalone MaskCLIP module (reference clip.py:239-361 API parity).
+
+    Functional wrapper pairing a VisionTransformer (ViT-L/14-336) with the
+    mask-attention forward: ``get_mask_embed(params, image, mask)`` returns
+    per-mask CLIP embeddings; ``pred_logits`` classifies them against text
+    embeds with synonym ensembling.
+    """
+
+    def __init__(self, visual, image_size: int = 336, patch_size: int = 14):
+        self.visual = visual
+        self.image_size = image_size
+        self.patch_size = patch_size
+
+    def get_mask_embed(self, variables, image: jnp.ndarray, mask: jnp.ndarray):
+        S = self.image_size
+        B, Q = mask.shape[:2]
+        img = jax.image.resize(image, (B, S, S, 3), method="bilinear")
+        img = clip_preprocess(img, S)
+        m = jax.image.resize(mask, (B, Q, S, S), method="bilinear")
+        n_tokens = (S // self.patch_size) ** 2
+        attn_mask = build_mask_attn_mask(m, self.patch_size, n_tokens)
+        return self.visual.apply(variables, img, mask_tokens=Q,
+                                 attn_mask=attn_mask)
+
+    @staticmethod
+    def pred_logits(mask_embed, text_embed, labels, logit_scale=100.0):
+        from ..helper import ensemble_logits_with_labels, l2_normalize
+
+        logits = logit_scale * jnp.einsum(
+            "bqc,kc->bqk", l2_normalize(mask_embed), l2_normalize(text_embed))
+        return ensemble_logits_with_labels(logits, labels, "max")
