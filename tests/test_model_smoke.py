@@ -86,7 +86,7 @@ def model_and_vars():
     img = jnp.zeros((1, 64, 64, 3))
     text_raw = jnp.zeros((4, CLIP_DIM))  # 4 flat synonyms
     variables = model.init(jax.random.PRNGKey(0), img, text_raw,
-                           method=CategoryODISE.forward_train)
+                           method=CategoryODISE.init_full)
     return model, variables
 
 
@@ -154,7 +154,7 @@ def test_panoptic_stuff_merging():
     mask_pred = jnp.full((Q, H, W), -10.0)
     mask_pred = mask_pred.at[0, :4].set(10.0)   # top half
     mask_pred = mask_pred.at[1, 4:].set(10.0)   # bottom half
-    mask_pred = mask_pred.at[2, :, :2].set(10.0)
+    mask_pred = mask_pred.at[2, :, :2].set(12.0)  # strictly beat q0/q1 on its columns
     thing_mask = jnp.array([True, True, False])
     pan = panoptic_inference(mask_cls, mask_pred, thing_mask,
                              object_mask_threshold=0.5, overlap_threshold=0.5)
