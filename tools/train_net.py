@@ -120,36 +120,103 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
             model, variables, wrapper_cfg, model.train_labels)
         infer = OpenPanopticInference(model, variables, vocab)
         K = len(vocab.labels)
+        meta = MetadataCatalog.get(dataset_name)
+        thing_mask_arr = jnp.asarray(vocab.thing_mask)
+
+        semantic_on = wrapper_cfg.get("semantic_on", True)
+        panoptic_on = wrapper_cfg.get("panoptic_on", True)
+        instance_on = wrapper_cfg.get("instance_on", True)
 
         sem_ev = SemSegEvaluator(
-            num_classes=K,
-            ignore_label=MetadataCatalog.get(dataset_name).get("ignore_label", 255))
+            num_classes=K, ignore_label=meta.get("ignore_label", 255))
+        pan_ev = PanopticEvaluator(
+            categories=list(range(K)),
+            isthing_map={i: bool(vocab.thing_mask[i]) for i in range(K)})
+        from odise_tpu.evaluation.instance_eval import InstanceSegEvaluator
+        from odise_tpu.models.inference import instance_inference
+        from odise_tpu.data.transforms import rgb2id
+
+        inst_ev = InstanceSegEvaluator(num_classes=K)
         resize = ResizeShortestEdge(cfg.dataloader.get("eval_short_side", 1024),
                                     cfg.dataloader.get("eval_max_size", 2560))
+        import cv2
+
         t_start = time.perf_counter()
         n = 0
         for rec in records:
             img = np.asarray(Image.open(rec["file_name"]).convert("RGB"))
+            oh, ow = img.shape[:2]
             ai = resize(AugInput(image=img))
             h, w = ai.image.shape[:2]
             h64, w64 = -(-h // 64) * 64, -(-w // 64) * 64
             padded = np.zeros((1, h64, w64, 3), np.float32)
             padded[0, :h, :w] = ai.image.astype(np.float32) / 255.0
             mask_cls, mask_pred = infer(jnp.asarray(padded))
-            sem = semantic_inference(mask_cls[0], mask_pred[0])
-            sem = np.asarray(sem[:, :h, :w])
-            # resize to gt size
-            if "sem_seg_file_name" in rec and os.path.isfile(rec["sem_seg_file_name"]):
-                gt = np.asarray(Image.open(rec["sem_seg_file_name"]))
-                import cv2
 
-                pred_ids = cv2.resize(
-                    np.argmax(sem, 0).astype(np.int32), (gt.shape[1], gt.shape[0]),
-                    interpolation=cv2.INTER_NEAREST)
-                sem_ev.process(pred_ids, gt)
+            if semantic_on and "sem_seg_file_name" in rec and os.path.isfile(
+                    rec["sem_seg_file_name"]):
+                sem = np.asarray(semantic_inference(mask_cls[0], mask_pred[0]),
+                                 np.float32)[:, :h, :w]
+                gt = np.asarray(Image.open(rec["sem_seg_file_name"]))
+                # resize probabilities before argmax (reference
+                # sem_seg_postprocess semantics)
+                sem_r = cv2.resize(sem.transpose(1, 2, 0), (gt.shape[1], gt.shape[0]),
+                                   interpolation=cv2.INTER_LINEAR)
+                sem_ev.process(np.argmax(sem_r, -1).astype(np.int32), gt)
+
+            if panoptic_on and "pan_seg_file_name" in rec and os.path.isfile(
+                    rec["pan_seg_file_name"]):
+                pan = panoptic_inference(
+                    mask_cls[0], mask_pred[0], thing_mask_arr,
+                    object_mask_threshold=float(model.object_mask_threshold),
+                    overlap_threshold=float(model.overlap_threshold))
+                pan_seg = np.asarray(pan.panoptic_seg)[:h, :w]
+                pan_seg = cv2.resize(pan_seg.astype(np.int32), (ow, oh),
+                                     interpolation=cv2.INTER_NEAREST)
+                nseg = int(pan.num_segments)
+                cats = np.asarray(pan.segment_category)
+                things = np.asarray(pan.segment_isthing)
+                pred_segments = [
+                    {"id": i + 1, "category_id": int(cats[i]),
+                     "isthing": bool(things[i])} for i in range(nseg)]
+                gt_rgb = np.asarray(Image.open(rec["pan_seg_file_name"]).convert("RGB"))
+                gt_ids = rgb2id(gt_rgb)
+                gt_segments = [dict(s) for s in rec.get("segments_info", [])]
+                pan_ev.process(gt_ids, gt_segments, pan_seg.astype(np.uint32),
+                               pred_segments)
+
+            if instance_on and "segments_info" in rec:
+                inst = instance_inference(mask_cls[0], mask_pred[0],
+                                          thing_mask_arr,
+                                          topk=model.test_topk_per_image)
+                masks = np.asarray(inst.masks)[:, :h, :w]
+                masks_r = np.stack([
+                    cv2.resize(m.astype(np.uint8), (ow, oh),
+                               interpolation=cv2.INTER_NEAREST).astype(bool)
+                    for m in masks]) if len(masks) else masks
+                gt_rgb = np.asarray(Image.open(rec["pan_seg_file_name"]).convert("RGB")) \
+                    if "pan_seg_file_name" in rec and os.path.isfile(rec["pan_seg_file_name"]) else None
+                if gt_rgb is not None:
+                    gt_ids = rgb2id(gt_rgb)
+                    gt_masks, gt_classes = [], []
+                    for s in rec["segments_info"]:
+                        if not bool(vocab.thing_mask[s["category_id"]]):
+                            continue
+                        gt_masks.append(gt_ids == s["id"])
+                        gt_classes.append(s["category_id"])
+                    if gt_masks:
+                        inst_ev.process(masks_r, np.asarray(inst.classes),
+                                        np.asarray(inst.scores),
+                                        np.stack(gt_masks), np.asarray(gt_classes))
             n += 1
         dt = time.perf_counter() - t_start
-        r = sem_ev.evaluate()
+        r = {}
+        if semantic_on:
+            r.update(sem_ev.evaluate())
+        if panoptic_on:
+            r.update(pan_ev.evaluate())
+        if instance_on:
+            r.update(inst_ev.evaluate())
         r["images"] = n
         r["s_per_img"] = dt / max(n, 1)
         results[task_name] = r
