@@ -133,6 +133,7 @@ def instance_inference(
     """Instance extraction for one image (reference maskformer_model.py:344-380)."""
     Q, K1 = mask_cls.shape
     K = K1 - 1
+    topk = min(topk, Q * K)  # cannot exceed the score-matrix size
     scores = jax.nn.softmax(mask_cls, axis=-1)[:, :-1]  # [Q, K]
     if panoptic_on:
         # keep only thing classes (reference filters by metadata)
