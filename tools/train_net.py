@@ -235,7 +235,7 @@ def do_train(args, cfg):
     from odise_tpu.engine.checkpoint import Checkpointer
     from odise_tpu.engine.optimizer import make_optimizer
     from odise_tpu.engine.train_loop import (
-        TrainState, Trainer, make_category_train_step)
+        TrainState, Trainer, make_caption_train_step, make_category_train_step)
     from odise_tpu.losses import CriterionConfig
     from odise_tpu.models.clip.tokenizer import tokenize
     from odise_tpu.parallel.mesh import batch_sharding, create_mesh, shard_params
@@ -250,20 +250,26 @@ def do_train(args, cfg):
     mesh = create_mesh(data=len(jax.devices()), model=1)
     batch0 = next(train_loader)
 
+    is_caption = "word_tokens" in batch0
+
     # precompute training-vocabulary text embeds with the frozen text tower
     labels = model.train_labels
     flat = [t for group in labels for t in group]
 
     logger.info("Initializing model parameters...")
     init_img = jnp.zeros((1,) + batch0["image"].shape[1:], jnp.float32)
-    text_raw_shape = jnp.zeros((len(flat), model.category_head.clip_dim))
+    if is_caption:
+        init_aux = jnp.zeros((1,) + batch0["word_tokens"].shape[1:], jnp.int32)
+    else:
+        init_aux = jnp.zeros((len(flat), model.category_head.clip_dim))
     variables = model.init(jax.random.PRNGKey(cfg.train.seed), init_img,
-                           text_raw_shape, method=type(model).init_full)
+                           init_aux, method=type(model).init_full)
     params = shard_params(variables["params"], mesh)
 
-    encode = jax.jit(lambda toks: model.apply(
-        {"params": params}, toks, method=type(model).encode_vocab))
-    text_embed_raw = encode(jnp.asarray(tokenize(flat)))
+    if not is_caption:
+        encode = jax.jit(lambda toks: model.apply(
+            {"params": params}, toks, method=type(model).encode_vocab))
+        text_embed_raw = encode(jnp.asarray(tokenize(flat)))
 
     tx = make_optimizer(params, lr=cfg.optimizer.lr,
                         weight_decay=cfg.optimizer.weight_decay,
@@ -279,14 +285,22 @@ def do_train(args, cfg):
         opt_state = loaded_opt
 
     state = TrainState(jnp.asarray(start_iter), params, opt_state)
-    step_fn = make_category_train_step(model, tx, criterion_cfg,
-                                       text_embed_raw, labels, mesh=mesh)
+    if is_caption:
+        grounding_cfg = instantiate(cfg.grounding_criterion)
+        step_fn = make_caption_train_step(model, tx, criterion_cfg,
+                                          grounding_cfg, mesh=mesh)
+        batch_keys = ("image", "gt_labels", "gt_masks", "gt_valid",
+                      "word_tokens", "word_valid")
+    else:
+        step_fn = make_category_train_step(model, tx, criterion_cfg,
+                                           text_embed_raw, labels, mesh=mesh)
+        batch_keys = ("image", "gt_labels", "gt_masks", "gt_valid")
 
     bs = batch_sharding(mesh)
 
     def place(batch):
         return {k: jax.device_put(v, bs) for k, v in batch.items()
-                if k in ("image", "gt_labels", "gt_masks", "gt_valid")}
+                if k in batch_keys}
 
     storage = EventStorage(start_iter)
     writers = [CommonMetricPrinter(cfg.train.max_iter),
