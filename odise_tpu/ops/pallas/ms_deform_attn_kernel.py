@@ -1,15 +1,27 @@
-"""Pallas TPU kernel for the multi-scale deformable-attention gather.
+"""Pallas TPU kernel (EXPERIMENTAL) for the deformable-attention gather.
 
 The op is fundamentally gather-bound (SURVEY.md hard part #4: the reference
-solves it with a CUDA im2col kernel). On TPU the XLA path issues one large
-HBM gather (`ops/ms_deform_attn.py`, impl="fused"); this kernel instead pins
-each (batch*head) value table in VMEM — at ODISE shapes the per-head table is
-only ~350 KB — and performs the 12-corner gathers as VMEM dynamic gathers,
-tiling queries over the grid.
+solves it with a CUDA im2col kernel). This kernel keeps each (batch*head)
+value table resident in VMEM (~350 KB at ODISE shapes) and gathers with
+Mosaic's ``dynamic_gather``, with index/weight prep (bilinear corners,
+validity, attention fold-in) in plain fused XLA.
 
-Index/weight preparation (bilinear corners, validity, attention fold-in) is
-plain XLA (cheap, fully fused); the kernel does only the bandwidth-critical
-gather+reduce.
+STATUS — blocked by current Mosaic limitations (kept as documentation and as
+the landing slot when support arrives):
+  * ``tpu.dynamic_gather`` requires index/output shapes to EQUAL the table
+    shape (element-wise take_along_axis) — worked around by tiling queries so
+    ``tile * corners == Lv``.
+  * index/data bitwidths must match — worked around by gathering in f32.
+  * FATAL: "Multiple source vregs along gather dimension" — the gather only
+    permutes *within one vreg* (8 sublanes / 128 lanes), so a 5k-row table
+    cannot be gathered at all. No formulation fixes this without per-row DMA
+    loops (latency-bound) or one-hot matmuls (FLOP-bound, measured worse).
+
+The production path is therefore the XLA single-fused-gather implementation
+(`ops/ms_deform_attn.py`, impl="fused"): measured 2.7x faster than per-level
+gathers and within ~4x of the pure HBM streaming bound for the same bytes on
+v5e. ``ms_deform_attn_pallas`` raises NotImplementedError eagerly so callers
+fall back.
 """
 
 from __future__ import annotations
@@ -25,10 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _prepare_indices_weights(spatial_shapes, sampling_locations,
                              attention_weights):
-    """[B,Lq,H,L,P,2] locations -> flat VMEM row indices + folded weights.
+    """[B,Lq,H,L,P,2] locations -> flat row indices + folded weights.
 
-    Returns idx [B,H,Lq,C] int32 (C = 4*L*P corners, rows within one head's
-    level-concat table) and wgt [B,H,Lq,C] f32.
+    Returns idx [B,H,Lq,C] int32 (rows within one head's level-concat table)
+    and wgt [B,H,Lq,C] f32 (bilinear * validity * attention).
     """
     B, Lq, H, L, P, _ = sampling_locations.shape
     idx_parts = []
@@ -54,57 +66,50 @@ def _prepare_indices_weights(spatial_shapes, sampling_locations,
         offset += h * w
     idx = jnp.stack(idx_parts, axis=-1).reshape(B, Lq, H, -1)
     wgt = jnp.stack(wgt_parts, axis=-1).reshape(B, Lq, H, -1)
-    # -> [B,H,Lq,C]
     return idx.transpose(0, 2, 1, 3), wgt.transpose(0, 2, 1, 3)
 
 
-def _kernel(value_ref, idx_ref, wgt_ref, out_ref):
-    """Per (bh, query-tile): gather C rows per query from the VMEM value
-    table and reduce with the folded weights."""
-    v = value_ref[0]                   # [Lv, hd] (VMEM)
-    idx = idx_ref[0]                   # [T, C]
-    wgt = wgt_ref[0]                   # [T, C]
-    T, C = idx.shape
-    g = jnp.take(v, idx.reshape(-1), axis=0, fill_value=0)  # [T*C, hd]
-    g = g.reshape(T, C, v.shape[-1]).astype(jnp.float32)
-    out_ref[0] = jnp.einsum("tcd,tc->td", g, wgt.astype(jnp.float32)).astype(
-        out_ref.dtype)
+def _make_kernel(T: int, C: int, hd: int):
+    def kernel(value_ref, idx_ref, wgt_ref, out_ref):
+        # Mosaic dynamic_gather requires data/index bitwidths to match:
+        # gather in f32 (indices are i32)
+        v = value_ref[0].astype(jnp.float32)  # [Lv_pad, hd], Lv_pad == T*C
+        idx = idx_ref[0]          # [T*C, 1] int32 (sublane-major, 1 lane)
+        wgt = wgt_ref[0]          # [T*C, 1] f32
+        idxb = jnp.broadcast_to(idx, (T * C, hd))      # lane broadcast
+        g = jnp.take_along_axis(v, idxb, axis=0, mode="promise_in_bounds")
+        g = g * jnp.broadcast_to(wgt.astype(jnp.float32), (T * C, hd))
+        # split sublanes (lane dim untouched) and reduce the corner axis
+        out_ref[0] = jnp.sum(g.reshape(T, C, hd), axis=1).astype(out_ref.dtype)
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("spatial_shapes_t", "tile"))
-def _pallas_forward(value, idx, wgt, spatial_shapes_t, tile):
-    B, Lv, H, hd = value.shape
-    Lq = idx.shape[2]
-    C = idx.shape[3]
-    vt = value.transpose(0, 2, 1, 3).reshape(B * H, Lv, hd)
-    idx2 = idx.reshape(B * H, Lq, C)
-    wgt2 = wgt.reshape(B * H, Lq, C)
+@functools.partial(jax.jit, static_argnames=("tile", "corners"))
+def _pallas_forward(value_bh, idx, wgt, tile, corners):
+    """value_bh [BH, Lv_pad, hd]; idx/wgt [BH, Lq_pad*C, 1] with
+    Lq_pad % tile == 0 and Lv_pad == tile*C."""
+    BH, Lv_pad, hd = value_bh.shape
+    C = corners
+    assert Lv_pad == tile * C, (Lv_pad, tile, C)
+    Lq_pad = idx.shape[1] // C
+    n_tiles = Lq_pad // tile
 
-    # pad queries to a tile multiple
-    pad = (-Lq) % tile
-    if pad:
-        idx2 = jnp.pad(idx2, ((0, 0), (0, pad), (0, 0)))
-        wgt2 = jnp.pad(wgt2, ((0, 0), (0, pad), (0, 0)))
-    n_tiles = (Lq + pad) // tile
-
-    out = pl.pallas_call(
-        _kernel,
-        grid=(B * H, n_tiles),
+    return pl.pallas_call(
+        _make_kernel(tile, C, hd),
+        grid=(BH, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, Lv, hd), lambda bh, t: (bh, 0, 0),
+            pl.BlockSpec((1, Lv_pad, hd), lambda bh, t: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, C), lambda bh, t: (bh, t, 0),
+            pl.BlockSpec((1, tile * C, 1), lambda bh, t: (bh, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, C), lambda bh, t: (bh, t, 0),
+            pl.BlockSpec((1, tile * C, 1), lambda bh, t: (bh, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile, hd), lambda bh, t: (bh, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, Lq + pad, hd), value.dtype),
-    )(vt, idx2, wgt2)
-
-    out = out[:, :Lq].reshape(B, H, Lq, hd).transpose(0, 2, 1, 3)
-    return out.reshape(B, Lq, H * hd)
+        out_shape=jax.ShapeDtypeStruct((BH, Lq_pad, hd), value_bh.dtype),
+    )(value_bh, idx, wgt)
 
 
 def ms_deform_attn_pallas(
@@ -112,9 +117,43 @@ def ms_deform_attn_pallas(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
-    tile: int = 512,
+    force: bool = False,
 ) -> jnp.ndarray:
-    """Pallas forward (no custom VJP — use the XLA impl for training)."""
+    """Pallas forward (no custom VJP — use the XLA impl for training).
+
+    Currently blocked by Mosaic gather limits (see module docstring); raises
+    unless ``force=True`` (for when a future Mosaic lifts the vreg limit).
+    """
+    if not force:
+        raise NotImplementedError(
+            "Mosaic dynamic_gather cannot span multiple vregs; use "
+            "ms_deform_attn(impl='fused'). Pass force=True to try anyway.")
+    B, Lv, H, hd = value.shape
+    Lq = sampling_locations.shape[1]
     idx, wgt = _prepare_indices_weights(
         tuple(spatial_shapes), sampling_locations, attention_weights)
-    return _pallas_forward(value, idx, wgt, tuple(spatial_shapes), tile)
+    C = idx.shape[-1]
+
+    # tile so that tile * C == padded table size (Mosaic gather contract)
+    tile = max(Lv // C, 1)
+    Lv_pad = tile * C
+    if Lv_pad < Lv:
+        tile += 1
+        Lv_pad = tile * C
+    vt = value.transpose(0, 2, 1, 3).reshape(B * H, Lv, hd)
+    if Lv_pad > Lv:
+        vt = jnp.pad(vt, ((0, 0), (0, Lv_pad - Lv), (0, 0)))
+
+    pad_q = (-Lq) % tile
+    idx2 = idx.reshape(B * H, Lq, C)
+    wgt2 = wgt.reshape(B * H, Lq, C)
+    if pad_q:
+        idx2 = jnp.pad(idx2, ((0, 0), (0, pad_q), (0, 0)))
+        wgt2 = jnp.pad(wgt2, ((0, 0), (0, pad_q), (0, 0)))
+    # sublane-major single-lane layout for in-kernel lane broadcast
+    idx2 = idx2.reshape(B * H, -1, 1)
+    wgt2 = wgt2.reshape(B * H, -1, 1)
+
+    out = _pallas_forward(vt, idx2, wgt2, tile, C)
+    out = out[:, :Lq].reshape(B, H, Lq, hd).transpose(0, 2, 1, 3)
+    return out.reshape(B, Lq, H * hd)
