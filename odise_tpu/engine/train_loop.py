@@ -40,6 +40,39 @@ def global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves))
 
 
+
+def partition_params(params):
+    """Split a param tree into (trainable, frozen) nested dicts (no copies).
+
+    Differentiating only the trainable subtree keeps the optimizer and grads
+    at ~28M params instead of materializing zero-gradients for the ~1.7B
+    frozen SD/CLIP weights (the reference never builds those grads either —
+    requires_grad=False).
+    """
+    from ..parallel.mesh import is_frozen_path
+
+    trainable: dict = {}
+    frozen: dict = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = tuple(getattr(k, "key", str(k)) for k in path)
+        target = frozen if is_frozen_path(keys) else trainable
+        node = target
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = leaf
+    return trainable, frozen
+
+
+def merge_param_trees(base: dict, override: dict) -> dict:
+    out = dict(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = merge_param_trees(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 def make_category_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -49,14 +82,21 @@ def make_category_train_step(
     mesh=None,
     axis_name: Optional[str] = None,
     donate: bool = True,
+    frozen_params=None,
 ) -> Callable:
     """Build the jitted CategoryODISE train step.
 
     step(state, batch, rng) -> (state, metrics). batch keys: image [B,S,S,3],
     gt_labels [B,T], gt_masks [B,T,S,S], gt_valid [B,T].
+
+    When ``frozen_params`` is given, ``state.params`` holds ONLY the trainable
+    subtree (see ``partition_params``); the frozen towers are closed over and
+    excluded from differentiation entirely.
     """
 
     def loss_fn(params, batch, rng):
+        if frozen_params is not None:
+            params = merge_param_trees(frozen_params, params)
         outputs = model.apply({"params": params}, batch["image"], text_embed_raw,
                               labels, method=type(model).forward_train)
         targets = {"labels": batch["gt_labels"], "masks": batch["gt_masks"],
@@ -90,12 +130,15 @@ def make_caption_train_step(
     grounding_cfg,
     mesh=None,
     axis_name: Optional[str] = None,
+    frozen_params=None,
 ) -> Callable:
     """CaptionODISE train step: binary mask losses + grounding InfoNCE
     (reference odise.py:431-537)."""
     from ..losses import mask_grounding_criterion
 
     def loss_fn(params, batch, rng):
+        if frozen_params is not None:
+            params = merge_param_trees(frozen_params, params)
         outputs = model.apply({"params": params}, batch["image"],
                               batch["word_tokens"],
                               method=type(model).forward_train)

@@ -235,7 +235,8 @@ def do_train(args, cfg):
     from odise_tpu.engine.checkpoint import Checkpointer
     from odise_tpu.engine.optimizer import make_optimizer
     from odise_tpu.engine.train_loop import (
-        TrainState, Trainer, make_caption_train_step, make_category_train_step)
+        TrainState, Trainer, make_caption_train_step, make_category_train_step,
+        partition_params)
     from odise_tpu.losses import CriterionConfig
     from odise_tpu.models.clip.tokenizer import tokenize
     from odise_tpu.parallel.mesh import batch_sharding, create_mesh, shard_params
@@ -264,12 +265,15 @@ def do_train(args, cfg):
         init_aux = jnp.zeros((len(flat), model.category_head.clip_dim))
     variables = model.init(jax.random.PRNGKey(cfg.train.seed), init_img,
                            init_aux, method=type(model).init_full)
-    params = shard_params(variables["params"], mesh)
+    full_params = shard_params(variables["params"], mesh)
 
     if not is_caption:
         encode = jax.jit(lambda toks: model.apply(
-            {"params": params}, toks, method=type(model).encode_vocab))
+            {"params": full_params}, toks, method=type(model).encode_vocab))
         text_embed_raw = encode(jnp.asarray(tokenize(flat)))
+
+    # differentiate/optimize only the trainable subtree (~28M params)
+    params, frozen_params = partition_params(full_params)
 
     tx = make_optimizer(params, lr=cfg.optimizer.lr,
                         weight_decay=cfg.optimizer.weight_decay,
@@ -288,12 +292,14 @@ def do_train(args, cfg):
     if is_caption:
         grounding_cfg = instantiate(cfg.grounding_criterion)
         step_fn = make_caption_train_step(model, tx, criterion_cfg,
-                                          grounding_cfg, mesh=mesh)
+                                          grounding_cfg, mesh=mesh,
+                                          frozen_params=frozen_params)
         batch_keys = ("image", "gt_labels", "gt_masks", "gt_valid",
                       "word_tokens", "word_valid")
     else:
         step_fn = make_category_train_step(model, tx, criterion_cfg,
-                                           text_embed_raw, labels, mesh=mesh)
+                                           text_embed_raw, labels, mesh=mesh,
+                                           frozen_params=frozen_params)
         batch_keys = ("image", "gt_labels", "gt_masks", "gt_valid")
 
     bs = batch_sharding(mesh)
