@@ -36,6 +36,8 @@ def parse_args():
     p.add_argument("--output", default="", help="override train.output_dir")
     p.add_argument("--tag", default="", help="run tag")
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of steps 10-15")
     p.add_argument("--ref", type=int, default=-1,
                    help="reference world size for auto scaling")
     p.add_argument("--max-eval-images", type=int, default=-1,
@@ -320,6 +322,11 @@ def do_train(args, cfg):
     with WriterStack(writers):
         batch = batch0
         for it in range(start_iter, cfg.train.max_iter):
+            if args.profile and it == start_iter + 10:
+                jax.profiler.start_trace(
+                    os.path.join(cfg.train.output_dir, "profile"))
+            if args.profile and it == start_iter + 15:
+                jax.profiler.stop_trace()
             t0 = time.perf_counter()
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, place(batch), step_rng)
