@@ -293,9 +293,11 @@ def install_clip_weights(params: dict, clip_state: Mapping,
 
     vision = convert_clip_vision(clip_state, layers=layers_vision)
     text = convert_clip_text(clip_state, layers=layers_text)
+    # the text tower's scope name depends on how it was constructed
+    text_key = "text_encoder" if "text_encoder" in params else "_text_enc"
     out = merge_params(params, {
         "backbone": {"feature_extractor": {"clip_visual": vision}},
-        "_text_enc": text,
+        text_key: text,
     })
     if "clip_head" in params:
         out = merge_params(out, {"clip_head": {

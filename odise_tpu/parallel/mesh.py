@@ -45,7 +45,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
 # param-path keywords identifying frozen towers whose weights may be sharded
 # over the model axis (they are read-only; XLA all-gathers on use).
 FROZEN_TOWER_KEYWORDS = ("vae", "unet", "sd_text", "clip_visual", "_text_enc",
-                         "clip_head")
+                         "text_encoder", "clip_head")
 
 
 def is_frozen_path(path: Tuple[str, ...]) -> bool:

@@ -1,0 +1,35 @@
+"""Factory / parameter-count regression tests (shape-only, no FLOPs)."""
+
+import jax
+import jax.numpy as jnp
+
+from odise_tpu.model_zoo.factory import build_caption_odise, build_category_odise
+from odise_tpu.utils.parameter_count import parameter_count
+
+
+def test_full_model_trainable_param_count():
+    """The reference reports 28.1M trainable params (README.md:89); our
+    rebuild must stay within a few percent."""
+    K = 133
+    labels = tuple((f"c{i}",) for i in range(K))
+    model = build_category_odise("full", train_labels=labels,
+                                 with_clip_head=True, use_checkpoint=False,
+                                 slide_training=False)
+    shapes = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 512, 512, 3)),
+        jnp.zeros((K, 768)), method=type(model).init_full))
+    trainable = parameter_count(shapes["params"], trainable_only=True)[""]
+    total = parameter_count(shapes["params"])[""]
+    assert abs(trainable - 28.1e6) / 28.1e6 < 0.03, trainable
+    # frozen towers: SD (~0.9B) + CLIP ViT-L x2 (+ SD text) ~= 1.7B
+    assert total > 1.5e9, total
+
+
+def test_caption_model_builds():
+    model = build_caption_odise("tiny", with_clip_head=True,
+                                use_checkpoint=False, slide_training=False)
+    shapes = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, 2, 77), jnp.int32), method=type(model).init_full))
+    assert "word_head" in shapes["params"]
+    assert "clip_head" in shapes["params"]
