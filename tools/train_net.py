@@ -238,7 +238,7 @@ def do_train(args, cfg):
     from odise_tpu.engine.optimizer import make_optimizer
     from odise_tpu.engine.train_loop import (
         TrainState, Trainer, make_caption_train_step, make_category_train_step,
-        partition_params)
+        merge_param_trees, partition_params)
     from odise_tpu.losses import CriterionConfig
     from odise_tpu.models.clip.tokenizer import tokenize
     from odise_tpu.parallel.mesh import batch_sharding, create_mesh, shard_params
@@ -290,6 +290,21 @@ def do_train(args, cfg):
     if loaded_opt is not None:
         opt_state = loaded_opt
 
+    from odise_tpu.engine.checkpoint import BestCheckpointer
+
+    best_ck = BestCheckpointer(ck, metric="main/PQ", mode="max")
+
+    def run_eval(state, final_iter):
+        full = merge_param_trees(frozen_params, state.params)
+        results = do_test(cfg, model, {"params": full},
+                          max_images=args.max_eval_images,
+                          final_iter=final_iter)
+        flat = {f"{task}/{k}": v for task, r in results.items()
+                for k, v in r.items() if isinstance(v, (int, float))}
+        best_ck.maybe_save(flat, jax.device_get(state.params),
+                           jax.device_get(state.opt_state), int(state.step))
+        return flat
+
     state = TrainState(jnp.asarray(start_iter), params, opt_state)
     if is_caption:
         grounding_cfg = instantiate(cfg.grounding_criterion)
@@ -339,9 +354,18 @@ def do_train(args, cfg):
             if (it + 1) % cfg.train.checkpointer.period == 0 or (it + 1) == cfg.train.max_iter:
                 ck.save(f"model_{it:07d}", jax.device_get(state.params),
                         jax.device_get(state.opt_state), it + 1)
+            if (cfg.train.eval_period > 0 and (it + 1) % cfg.train.eval_period == 0
+                    and (it + 1) != cfg.train.max_iter):
+                # in-loop eval; the final eval runs once after training
+                # (reference hooks.py:55-68 skip-duplicate semantics)
+                eval_metrics = run_eval(state, final_iter=False)
+                storage.put_scalars(**{k: v for k, v in eval_metrics.items()
+                                       if "/" in k})
             storage.step()
         ck.save("model_final", jax.device_get(state.params),
                 jax.device_get(state.opt_state), cfg.train.max_iter)
+        if cfg.train.eval_period > 0:
+            run_eval(state, final_iter=True)
 
     return state
 
