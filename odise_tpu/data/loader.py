@@ -78,3 +78,49 @@ def build_test_loader(
             yield chunk
         else:
             yield [mapper(r) for r in chunk]
+
+
+def build_grain_train_loader(
+    dataset: str | List[dict],
+    mapper: Callable,
+    total_batch_size: int,
+    *,
+    num_hosts: int = 1,
+    host_id: int = 0,
+    seed: int = 42,
+    worker_count: int = 4,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Multi-worker training loader built on grain (the reference uses 4 d2
+    worker processes per GPU; tools/train_net.py). Falls back to the
+    in-process loader when grain is unavailable or worker_count == 0."""
+    if worker_count <= 0:
+        yield from build_train_loader(dataset, mapper, total_batch_size,
+                                      num_hosts=num_hosts, host_id=host_id,
+                                      seed=seed)
+        return
+    try:
+        import grain.python as grain
+    except ImportError:
+        yield from build_train_loader(dataset, mapper, total_batch_size,
+                                      num_hosts=num_hosts, host_id=host_id,
+                                      seed=seed)
+        return
+
+    records = DatasetCatalog.get(dataset) if isinstance(dataset, str) else dataset
+    per_host = total_batch_size // num_hosts
+
+    class _Map(grain.MapTransform):
+        def map(self, idx_record):
+            idx, record = idx_record
+            rng = np.random.RandomState((seed + idx) % (2 ** 31))
+            return mapper(record, rng=rng)
+
+    source = grain.MapDataset.source([(i, r) for i, r in enumerate(records)])
+    ds = (source.shuffle(seed=seed)
+          .repeat(None)
+          .map(_Map())
+          .batch(per_host, drop_remainder=True))
+    it = iter(ds.to_iter_dataset(
+        grain.ReadOptions(num_threads=worker_count, prefetch_buffer_size=2)))
+    for batch in it:
+        yield {k: np.asarray(v) for k, v in batch.items()}
