@@ -14,6 +14,10 @@ from .lazy import instantiate, resolve
 def instantiate_odise(cfg):
     """Instantiate an ODISE model config with backbone-shape plumbing."""
     cfg = resolve(cfg)
+    if "backbone" not in cfg:
+        # factory-style config (single callable builds the whole model):
+        # no shape plumbing needed
+        return instantiate(cfg, _resolved=True)
     backbone = instantiate(cfg.backbone, _resolved=True)
     cfg.sem_seg_head.input_shape = dict(backbone.output_shape())
     cfg.sem_seg_head.pixel_decoder.input_shape = dict(backbone.output_shape())
