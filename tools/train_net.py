@@ -112,7 +112,8 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
         except Exception as e:
             logger.warning("Skipping task %s: %s", task_name, e)
             continue
-        if records and not os.path.isfile(records[0].get("file_name", "")):
+        if records and "image" not in records[0] and not os.path.isfile(
+                records[0].get("file_name", "")):
             logger.warning("Skipping task %s: dataset files not found", task_name)
             continue
         if max_images > 0:
@@ -146,7 +147,8 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
         t_start = time.perf_counter()
         n = 0
         for rec in records:
-            img = np.asarray(Image.open(rec["file_name"]).convert("RGB"))
+            img = (np.asarray(rec["image"]) if "image" in rec
+                   else np.asarray(Image.open(rec["file_name"]).convert("RGB")))
             oh, ow = img.shape[:2]
             ai = resize(AugInput(image=img))
             h, w = ai.image.shape[:2]
@@ -166,8 +168,9 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
                                    interpolation=cv2.INTER_LINEAR)
                 sem_ev.process(np.argmax(sem_r, -1).astype(np.int32), gt)
 
-            if panoptic_on and "pan_seg_file_name" in rec and os.path.isfile(
-                    rec["pan_seg_file_name"]):
+            if panoptic_on and ("pan_seg" in rec or (
+                    "pan_seg_file_name" in rec
+                    and os.path.isfile(rec["pan_seg_file_name"]))):
                 pan = panoptic_inference(
                     mask_cls[0], mask_pred[0], thing_mask_arr,
                     object_mask_threshold=float(model.object_mask_threshold),
@@ -181,8 +184,12 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
                 pred_segments = [
                     {"id": i + 1, "category_id": int(cats[i]),
                      "isthing": bool(things[i])} for i in range(nseg)]
-                gt_rgb = np.asarray(Image.open(rec["pan_seg_file_name"]).convert("RGB"))
-                gt_ids = rgb2id(gt_rgb)
+                if "pan_seg" in rec:
+                    gt_ids = np.asarray(rec["pan_seg"], np.uint32)
+                else:
+                    gt_rgb = np.asarray(
+                        Image.open(rec["pan_seg_file_name"]).convert("RGB"))
+                    gt_ids = rgb2id(gt_rgb)
                 gt_segments = [dict(s) for s in rec.get("segments_info", [])]
                 pan_ev.process(gt_ids, gt_segments, pan_seg.astype(np.uint32),
                                pred_segments)
@@ -196,10 +203,15 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
                     cv2.resize(m.astype(np.uint8), (ow, oh),
                                interpolation=cv2.INTER_NEAREST).astype(bool)
                     for m in masks]) if len(masks) else masks
-                gt_rgb = np.asarray(Image.open(rec["pan_seg_file_name"]).convert("RGB")) \
-                    if "pan_seg_file_name" in rec and os.path.isfile(rec["pan_seg_file_name"]) else None
-                if gt_rgb is not None:
-                    gt_ids = rgb2id(gt_rgb)
+                if "pan_seg" in rec:
+                    gt_ids = np.asarray(rec["pan_seg"], np.uint32)
+                elif ("pan_seg_file_name" in rec
+                        and os.path.isfile(rec["pan_seg_file_name"])):
+                    gt_ids = rgb2id(np.asarray(
+                        Image.open(rec["pan_seg_file_name"]).convert("RGB")))
+                else:
+                    gt_ids = None
+                if gt_ids is not None:
                     gt_masks, gt_classes = [], []
                     for s in rec["segments_info"]:
                         if not bool(vocab.thing_mask[s["category_id"]]):
@@ -396,10 +408,12 @@ def main():
         labels = model.train_labels
         flat = [t for g in labels for t in g]
         init_img = jnp.zeros((1, 64, 64, 3), jnp.float32)
-        variables = model.init(
-            jax.random.PRNGKey(0), init_img,
-            jnp.zeros((len(flat), model.category_head.clip_dim)),
-            method=type(model).init_full)
+        if getattr(model, "category_head", None) is not None:
+            init_aux = jnp.zeros((len(flat), model.category_head.clip_dim))
+        else:  # caption model: word tokens
+            init_aux = jnp.zeros((1, 2, 77), jnp.int32)
+        variables = model.init(jax.random.PRNGKey(0), init_img, init_aux,
+                               method=type(model).init_full)
         if args.init_from:
             from odise_tpu.engine.checkpoint import Checkpointer
 
