@@ -30,10 +30,11 @@ VOCAB_SIZE = 49408
 SOT_TEXT = "<|startoftext|>"
 EOT_TEXT = "<|endoftext|>"
 
+# CLIP's original pattern uses \p{L}/\p{N} (needs the third-party `regex`
+# module); the stdlib-compatible ASCII equivalent below matches it on the
+# English label/caption vocabulary this framework tokenizes.
 _PAT = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-    if False  # \p classes need the regex module; use ASCII-equivalent fallback
-    else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
     re.IGNORECASE,
 )
 
