@@ -171,11 +171,14 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
             if panoptic_on and ("pan_seg" in rec or (
                     "pan_seg_file_name" in rec
                     and os.path.isfile(rec["pan_seg_file_name"]))):
+                # crop padding BEFORE fusion: pad pixels must not count
+                # toward mask areas / overlap ratios (reference
+                # sem_seg_postprocess_before_inference semantics)
                 pan = panoptic_inference(
-                    mask_cls[0], mask_pred[0], thing_mask_arr,
+                    mask_cls[0], mask_pred[0, :, :h, :w], thing_mask_arr,
                     object_mask_threshold=float(model.object_mask_threshold),
                     overlap_threshold=float(model.overlap_threshold))
-                pan_seg = np.asarray(pan.panoptic_seg)[:h, :w]
+                pan_seg = np.asarray(pan.panoptic_seg)
                 pan_seg = cv2.resize(pan_seg.astype(np.int32), (ow, oh),
                                      interpolation=cv2.INTER_NEAREST)
                 nseg = int(pan.num_segments)
@@ -195,10 +198,10 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
                                pred_segments)
 
             if instance_on and "segments_info" in rec:
-                inst = instance_inference(mask_cls[0], mask_pred[0],
+                inst = instance_inference(mask_cls[0], mask_pred[0, :, :h, :w],
                                           thing_mask_arr,
                                           topk=model.test_topk_per_image)
-                masks = np.asarray(inst.masks)[:, :h, :w]
+                masks = np.asarray(inst.masks)
                 masks_r = np.stack([
                     cv2.resize(m.astype(np.uint8), (ow, oh),
                                interpolation=cv2.INTER_NEAREST).astype(bool)
