@@ -325,7 +325,10 @@ def _mha_packed(sd: Mapping, tree: dict, src: str, dst: str) -> None:
 
 def _d2_conv_gn(sd: Mapping, tree: dict, src: str, dst_conv: str,
                 dst_norm: str) -> None:
-    """d2 Conv2d with attached .norm (GroupNorm)."""
+    """d2 Conv2d with attached .norm (GroupNorm); absent convs are skipped
+    (e.g. BottleneckBlock has no shortcut when channels match)."""
+    if f"{src}.weight" not in sd:
+        return
     _conv(sd, tree, src, dst_conv)
     if f"{src}.norm.weight" in sd:
         _set(tree, f"{dst_norm}/scale", sd[f"{src}.norm.weight"])
