@@ -83,6 +83,7 @@ def make_category_train_step(
     axis_name: Optional[str] = None,
     donate: bool = True,
     frozen_params=None,
+    grad_clip: float = 0.01,
 ) -> Callable:
     """Build the jitted CategoryODISE train step.
 
@@ -115,6 +116,11 @@ def make_category_train_step(
         metrics = dict(losses)
         metrics["total_loss"] = total
         metrics["grad_norm"] = gnorm
+        # parity with the reference's AMPTrainer logging
+        # (train_loop.py:306-312): on TPU bf16 there is no GradScaler, so
+        # loss_scale is identically 1; clipped norm reflects the clip cap.
+        metrics["clipped_grad_norm"] = jnp.minimum(gnorm, grad_clip)
+        metrics["loss_scale"] = jnp.ones(())
         return TrainState(state.step + 1, params, opt_state), metrics
 
     # Sharding is carried by the input placements: callers place the batch

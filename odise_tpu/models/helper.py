@@ -74,3 +74,15 @@ def l2_normalize(x, axis: int = -1, eps: float = 1e-12):
     """NaN-safe L2 normalization: finite gradient even at exactly-zero input
     (x / ||x|| has a NaN gradient at 0; rsqrt(sum(x^2)+eps) does not)."""
     return x * jax.lax.rsqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True) + eps)
+
+
+class LayerNorm2d:
+    """Channel-wise LayerNorm over NHWC maps (reference helper.py LayerNorm2d,
+    which normalizes the channel dim of NCHW maps). Functional: call with
+    (x, scale, bias)."""
+
+    @staticmethod
+    def apply(x, scale, bias, eps: float = 1e-6):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
