@@ -54,3 +54,31 @@ def test_build_vocab_and_infer(model_and_vars):
     infer2 = OpenPanopticInference(model, variables, vocab2)
     mask_cls2, _ = infer2(jnp.full((1, 64, 64, 3), 0.5))
     assert mask_cls2.shape == (1, model.num_queries, 2)
+
+
+def test_sharded_eval_over_mesh(model_and_vars):
+    """Eval forward with the batch sharded over all 8 virtual devices."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from odise_tpu.parallel.mesh import create_mesh, shard_params
+
+    model, variables = model_and_vars
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = create_mesh(data=8, model=1, devices=devices[:8])
+
+    params = shard_params(variables["params"], mesh)
+    imgs = jax.device_put(np.full((8, 64, 64, 3), 0.5, np.float32),
+                          NamedSharding(mesh, P("data")))
+    text_raw = jax.device_put(np.zeros((3, 16), np.float32),
+                              NamedSharding(mesh, P()))
+
+    fn = jax.jit(lambda v, x, t: model.apply(
+        v, x, t, TRAIN_LABELS, method=type(model).forward_eval))
+    mask_cls, mask_pred = fn({"params": params}, imgs, text_raw)
+    assert mask_cls.shape == (8, model.num_queries, 4)
+    assert mask_pred.shape == (8, model.num_queries, 64, 64)
+    # outputs stay sharded over data
+    assert len(mask_cls.sharding.device_set) == 8
