@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Capture per-block activations for weight-parity debugging.
+
+SURVEY.md hard part #1: the SD/CLIP ports are the largest surface for silent
+numeric drift; the mitigation is per-block activation diffs against captured
+reference activations. This tool produces our side of that diff: given a
+(converted) checkpoint and a fixed input, it saves the backbone taps, pixel
+decoder outputs, decoder predictions and final logits to an .npz for
+comparison with a reference-side capture of the same input.
+
+Usage:
+  python tools/capture_activations.py --out acts.npz \
+      [--sd-ckpt sd-v1-3.ckpt --clip-ckpt clip.pth --odise-ckpt odise.pth] \
+      [--image img.jpg] [--scale tiny|full]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="activations.npz")
+    ap.add_argument("--scale", default="full", choices=["tiny", "full"])
+    ap.add_argument("--image", default="", help="input image (else fixed ramp)")
+    ap.add_argument("--image-size", type=int, default=512)
+    ap.add_argument("--sd-ckpt", default="")
+    ap.add_argument("--clip-ckpt", default="")
+    ap.add_argument("--odise-ckpt", default="")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from odise_tpu.model_zoo.factory import build_category_odise
+
+    K = 16
+    labels = tuple((f"c{i}",) for i in range(K))
+    model = build_category_odise(args.scale, train_labels=labels,
+                                 with_clip_head=False, use_checkpoint=False,
+                                 slide_training=False)
+    S = args.image_size if args.scale == "full" else 64
+    clip_dim = model.category_head.clip_dim
+
+    if args.image:
+        from PIL import Image
+        import cv2
+
+        img = np.asarray(Image.open(args.image).convert("RGB"))
+        img = cv2.resize(img, (S, S)).astype(np.float32) / 255.0
+    else:
+        # deterministic ramp input (reproducible on the reference side)
+        yy, xx = np.mgrid[0:S, 0:S]
+        img = np.stack([yy / S, xx / S, (yy + xx) / (2 * S)], -1).astype(np.float32)
+    img = jnp.asarray(img[None])
+
+    variables = model.init(jax.random.PRNGKey(0), img,
+                           jnp.zeros((K, clip_dim)),
+                           method=type(model).init_full)
+    params = variables["params"]
+
+    from odise_tpu.engine.checkpoint import merge_params
+    from odise_tpu.model_zoo.convert import (
+        convert_odise_trainable, install_clip_weights, install_sd_weights,
+        load_torch_state_dict)
+
+    if args.sd_ckpt:
+        params = install_sd_weights(params, load_torch_state_dict(args.sd_ckpt))
+    if args.clip_ckpt:
+        params = install_clip_weights(params, load_torch_state_dict(args.clip_ckpt))
+    if args.odise_ckpt:
+        params = merge_params(params,
+                              convert_odise_trainable(
+                                  load_torch_state_dict(args.odise_ckpt)))
+    variables = {"params": params}
+
+    captures = {}
+
+    # backbone taps (pre-projection SD activations)
+    taps = model.apply(
+        variables, img,
+        method=lambda m, x: m.backbone.feature_extractor(x))
+    for i, t in enumerate(taps):
+        captures[f"tap_{i}"] = np.asarray(t, np.float32)
+
+    # pyramid features after projection/grouping
+    feats = model.apply(variables, img, training=False,
+                        method=lambda m, x, training: m.backbone(x, training))
+    for k, v in feats.items():
+        captures[f"backbone_{k}"] = np.asarray(v, np.float32)
+
+    # head outputs
+    out = model.apply(variables, img, False, method=type(model).forward_features)
+    for k in ("pred_logits", "pred_masks", "mask_embed", "logit_scale"):
+        captures[f"head_{k}"] = np.asarray(out[k], np.float32)
+
+    np.savez_compressed(args.out, **captures)
+    print(f"wrote {args.out}: " + ", ".join(
+        f"{k}{list(v.shape)}" for k, v in list(captures.items())[:8]) + ", ...")
+
+
+if __name__ == "__main__":
+    main()
