@@ -59,15 +59,24 @@ def merge_params(base: dict, override: dict) -> dict:
 
 
 class Checkpointer:
-    """Save/load train state; frozen towers excluded from disk."""
+    """Save/load train state; frozen towers excluded from disk.
 
-    def __init__(self, save_dir: str, max_to_keep: int = 2):
+    ``backend="pickle"`` (default) writes single-file .ckpt pickles;
+    ``backend="orbax"`` uses orbax-checkpoint directories (async-capable,
+    cloud-storage friendly).
+    """
+
+    def __init__(self, save_dir: str, max_to_keep: int = 2,
+                 backend: str = "pickle"):
+        assert backend in ("pickle", "orbax")
         self.save_dir = save_dir
         self.max_to_keep = max_to_keep
+        self.backend = backend
         os.makedirs(save_dir, exist_ok=True)
 
     def _path(self, name: str) -> str:
-        return os.path.join(self.save_dir, f"{name}.ckpt")
+        suffix = ".orbax" if self.backend == "orbax" else ".ckpt"
+        return os.path.join(self.save_dir, f"{name}{suffix}")
 
     def save(self, name: str, params, opt_state=None, step: int = 0,
              extra: Optional[Dict[str, Any]] = None) -> str:
@@ -80,9 +89,21 @@ class Checkpointer:
             "extra": extra or {},
         }
         path = self._path(name)
-        with open(path + ".tmp", "wb") as f:
-            pickle.dump(payload, f, protocol=4)
-        os.replace(path + ".tmp", path)
+        if self.backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.PyTreeCheckpointer()
+            ckptr.save(os.path.abspath(path),
+                       {"params": payload["params"], "step": step,
+                        "extra": payload["extra"]},
+                       force=True)
+            if payload["opt_state"] is not None:
+                with open(os.path.join(path, "opt_state.pkl"), "wb") as f:
+                    pickle.dump(payload["opt_state"], f, protocol=4)
+        else:
+            with open(path + ".tmp", "wb") as f:
+                pickle.dump(payload, f, protocol=4)
+            os.replace(path + ".tmp", path)
         self._write_last(name)
         self._gc()
         logger.info("Saved checkpoint to %s", path)
@@ -93,14 +114,20 @@ class Checkpointer:
             f.write(name)
 
     def _gc(self):
+        suffix = ".orbax" if self.backend == "orbax" else ".ckpt"
         ckpts = sorted(
-            (f for f in os.listdir(self.save_dir) if f.endswith(".ckpt")),
+            (f for f in os.listdir(self.save_dir) if f.endswith(suffix)),
             key=lambda f: os.path.getmtime(os.path.join(self.save_dir, f)))
-        keep_always = {"model_final.ckpt", "model_best.ckpt"}
+        keep_always = {f"model_final{suffix}", f"model_best{suffix}"}
         removable = [c for c in ckpts if c not in keep_always]
+        import shutil
+
         while len(removable) > self.max_to_keep:
-            victim = removable.pop(0)
-            os.remove(os.path.join(self.save_dir, victim))
+            victim = os.path.join(self.save_dir, removable.pop(0))
+            if os.path.isdir(victim):
+                shutil.rmtree(victim)
+            else:
+                os.remove(victim)
 
     def has_checkpoint(self) -> bool:
         return os.path.isfile(os.path.join(self.save_dir, "last_checkpoint"))
@@ -114,8 +141,22 @@ class Checkpointer:
 
     def load(self, path: str, init_params) -> Tuple[dict, Any, int, dict]:
         """Restore trainable params over the given init (frozen kept)."""
-        with open(path, "rb") as f:
-            payload = pickle.load(f)
+        if os.path.isdir(path):  # orbax directory
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.PyTreeCheckpointer()
+            restored = ckptr.restore(os.path.abspath(path))
+            payload = {"params": restored["params"],
+                       "step": int(restored.get("step", 0)),
+                       "extra": restored.get("extra", {}),
+                       "opt_state": None}
+            opt_pkl = os.path.join(path, "opt_state.pkl")
+            if os.path.isfile(opt_pkl):
+                with open(opt_pkl, "rb") as f:
+                    payload["opt_state"] = pickle.load(f)
+        else:
+            with open(path, "rb") as f:
+                payload = pickle.load(f)
         params = merge_params(init_params, payload["params"])
         self._report_missing(init_params, payload["params"])
         return params, payload.get("opt_state"), payload.get("step", 0), payload.get("extra", {})

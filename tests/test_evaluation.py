@@ -151,3 +151,23 @@ def test_event_storage_and_writers(tmp_path):
     lines = [json.loads(l) for l in open(tmp_path / "metrics.json")]
     assert len(lines) == 3
     assert lines[0]["loss"] == 10.0
+
+
+def test_checkpointer_orbax_roundtrip(tmp_path):
+    import pytest
+
+    pytest.importorskip("orbax.checkpoint")
+    from odise_tpu.engine.checkpoint import Checkpointer
+
+    params = {"decoder": {"w": np.ones((2, 2), np.float32)},
+              "backbone": {"unet": {"w": np.zeros((3,), np.float32)}}}
+    ck = Checkpointer(str(tmp_path), backend="orbax")
+    ck.save("model_0000001", params, opt_state={"m": np.ones((2,))}, step=1)
+    assert ck.has_checkpoint()
+    init = {"decoder": {"w": np.zeros((2, 2), np.float32)},
+            "backbone": {"unet": {"w": np.full((3,), 5.0, np.float32)}}}
+    loaded, opt, step, _ = ck.resume_or_load(None, init, resume=True)
+    assert step == 1
+    np.testing.assert_allclose(loaded["decoder"]["w"], 1.0)
+    np.testing.assert_allclose(loaded["backbone"]["unet"]["w"], 5.0)
+    np.testing.assert_allclose(opt["m"], 1.0)
