@@ -194,12 +194,15 @@ def main():
                                  object_mask_threshold=0.0,
                                  overlap_threshold=cfg.model.overlap_threshold)
         seg = np.asarray(pan.panoptic_seg)[:nh, :nw]
-        overlay = (0.5 * resized + 0.5 * colorize(seg)).astype(np.uint8)
+        n = int(pan.num_segments)
+        cats = np.asarray(pan.segment_category)
+        from odise_tpu.utils.visualizer import Visualizer
+
+        vis = Visualizer(resized, class_names=[l[0] for l in labels])
+        overlay = vis.draw_panoptic_seg(seg, cats, n)
         out_path = os.path.join(args.output, os.path.basename(path))
         Image.fromarray(overlay).save(out_path)
-        n = int(pan.num_segments)
-        cats = np.asarray(pan.segment_category)[:n]
-        names = [labels[c][0] for c in cats]
+        names = [labels[c][0] for c in cats[:n]]
         print(f"{path}: {n} segments -> {out_path}; categories: {names}")
 
 

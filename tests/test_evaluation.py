@@ -171,3 +171,16 @@ def test_checkpointer_orbax_roundtrip(tmp_path):
     np.testing.assert_allclose(loaded["decoder"]["w"], 1.0)
     np.testing.assert_allclose(loaded["backbone"]["unet"]["w"], 5.0)
     np.testing.assert_allclose(opt["m"], 1.0)
+
+
+def test_visualizer_overlay():
+    from odise_tpu.utils.visualizer import Visualizer
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    seg = np.zeros((16, 16), np.int32)
+    seg[:8] = 1
+    seg[8:] = 2
+    vis = Visualizer(img, class_names=["cat", "grass"])
+    out = vis.draw_panoptic_seg(seg, [0, 1], 2)
+    assert out.shape == (16, 16, 3) and out.dtype == np.uint8
+    assert out.max() > 0  # something was drawn
