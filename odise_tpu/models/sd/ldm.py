@@ -39,6 +39,11 @@ class LatentDiffusion(nn.Module):
     num_timesteps: int = 1000
     ddim_steps: int = 50
     guidance_scale: float = 7.5
+    # tower dims (shrinkable for tests)
+    model_channels: int = 320
+    vae_ch: int = 128
+    context_dim: int = 768
+    sd_text_layers: int = 12
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -52,9 +57,14 @@ class LatentDiffusion(nn.Module):
     latent_dim: int = 4
 
     def setup(self):
-        self.vae = AutoencoderKL(dtype=self.dtype)
-        self.unet = UNetModel(tap_indices=(), dtype=self.dtype)
-        self.text_encoder = TextTransformer(dtype=self.dtype)
+        self.vae = AutoencoderKL(ch=self.vae_ch, dtype=self.dtype)
+        self.unet = UNetModel(model_channels=self.model_channels,
+                              context_dim=self.context_dim, tap_indices=(),
+                              dtype=self.dtype)
+        self.text_encoder = TextTransformer(
+            width=self.context_dim, layers=self.sd_text_layers,
+            heads=max(1, self.context_dim // 64), embed_dim=self.context_dim,
+            dtype=self.dtype)
         betas = get_named_beta_schedule("ldm_linear", self.num_timesteps)
         self.diffusion = SpacedDiffusion(
             use_timesteps=space_timesteps(self.num_timesteps,
@@ -97,8 +107,16 @@ class LatentDiffusion(nn.Module):
         def model_fn(x, t, **kw):
             return self.apply_model_with_guidance(x, t, cond, uncond)
 
-        latent = self.diffusion.ddim_sample_loop(
-            model_fn, (B, h, w, self.latent_dim), rng)
+        # Unrolled DDIM loop: flax modules cannot be called inside lax.scan
+        # bodies (tracer leak); ddim_steps is small and static, so unrolling
+        # is fine for this non-hot generative path.
+        rng, init_rng = jax.random.split(rng)
+        latent = jax.random.normal(init_rng, (B, h, w, self.latent_dim),
+                                   jnp.float32)
+        for t_scalar in range(self.diffusion.num_timesteps - 1, -1, -1):
+            t_vec = jnp.full((B,), t_scalar, jnp.int32)
+            latent = self.diffusion.ddim_sample(
+                model_fn, latent, t_vec, clip_denoised=True)["sample"]
         image = self.decode_from_latent(latent.astype(self.dtype))
         return jnp.clip((image + 1.0) / 2.0, 0.0, 1.0)
 

@@ -88,3 +88,27 @@ def get_local_path(path: str) -> str:
         if path.startswith(prefix):
             return fn(path)
     return path
+
+
+def _resolve_s3(path: str) -> str:
+    """s3:// handler (reference registers one at tools/train_net.py:53).
+
+    Uses boto3 when installed; otherwise raises with guidance. Downloads into
+    the local cache directory.
+    """
+    try:
+        import boto3  # type: ignore
+    except ImportError as e:
+        raise FileNotFoundError(
+            f"Cannot fetch {path}: boto3 is not installed. Mirror the file "
+            f"locally and point at the local path instead.") from e
+    bucket, _, key = path[len("s3://"):].partition("/")
+    cache = os.path.expanduser("~/.cache/odise_tpu/s3")
+    local = os.path.join(cache, bucket, key)
+    if not os.path.isfile(local):
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        boto3.client("s3").download_file(bucket, key, local)
+    return local
+
+
+register_handler("s3://", _resolve_s3)

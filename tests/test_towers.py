@@ -137,3 +137,23 @@ def test_embed_text_adapter():
     assert out.text_embed.shape == (1, 8)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(out.text_embed)), 1.0, rtol=1e-5)
     assert out.text_mask.shape == (1, 77)
+
+
+def test_latent_diffusion_text_to_image_tiny():
+    """Full guided-DDIM text->image path on a tiny LatentDiffusion."""
+    from odise_tpu.models.sd.ldm import LatentDiffusion
+    from odise_tpu.models.clip.tokenizer import tokenize
+
+    class TinyLDM(LatentDiffusion):
+        @property
+        def latent_image_size(self):
+            return (8, 8)
+
+    ldm = TinyLDM(model_channels=8, vae_ch=8, context_dim=16, sd_text_layers=1,
+                  ddim_steps=2, num_timesteps=16)
+    toks = jnp.asarray(tokenize(["a cat"]))
+    variables = ldm.init(jax.random.PRNGKey(0), toks, jax.random.PRNGKey(1))
+    img = ldm.apply(variables, toks, jax.random.PRNGKey(2))
+    assert img.shape == (1, 64, 64, 3)
+    assert bool(jnp.isfinite(img).all())
+    assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
