@@ -117,3 +117,26 @@ def test_catalog():
     with pytest.raises(AttributeError):
         _ = meta.missing_key
     DatasetCatalog.remove("_test_ds")
+
+
+def test_save_config_roundtrip_readable(tmp_path):
+    from odise_tpu.config import save_config
+
+    cfg = ConfigDict(
+        model=L(_Model)(dim=4, sub=L(_Model)(dim=8)),
+        train=ConfigDict(max_iter=10),
+    )
+    path = str(tmp_path / "config.yaml")
+    save_config(cfg, path)
+    text = open(path).read()
+    assert "_target_" in text and "max_iter: 10" in text
+
+
+def test_get_config_loads_shipped_configs():
+    from odise_tpu.config import get_config
+
+    cfg = get_config("common/train.py")
+    assert cfg.train.seed == 42
+    full = get_config("Panoptic/odise_label_coco_50e.py")
+    assert full.train.max_iter == 92188
+    assert full.train.reference_world_size == 32
