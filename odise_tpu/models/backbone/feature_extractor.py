@@ -404,6 +404,9 @@ class FeatureExtractorBackbone(nn.Module):
     projection_dim: int = 512
     use_checkpoint: bool = False
     slide_training: bool = False
+    # training-only: process slide crops serially under remat (low memory)
+    # instead of the fast fused batched forward (see slide_forward)
+    slide_serial: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def _grouping(self):
@@ -511,11 +514,28 @@ class FeatureExtractorBackbone(nn.Module):
                 y1, x1 = max(y2 - crop, 0), max(x2 - crop, 0)
                 boxes.append((y1, x1))
         G = len(boxes)
-        crops = jnp.concatenate(
-            [jax.lax.dynamic_slice(img, (0, y1, x1, 0), (B, crop, crop, 3))
-             for (y1, x1) in boxes], axis=0)  # [G*B, crop, crop, 3]
-
-        crop_feats = self.single_forward(crops, training)
+        if training and self.slide_serial and G > 1:
+            # memory-lean training path: crops processed serially with the
+            # whole per-crop forward rematerialized, so peak activation
+            # memory is one crop instead of G (the reference is also
+            # crop-serial, feature_extractor.py:216-244). Eval keeps the
+            # fast fused batched path below.
+            serial = nn.remat(
+                type(self).single_forward, static_argnums=(2,),
+                prevent_cse=False)
+            per_crop = [
+                serial(self,
+                       jax.lax.dynamic_slice(img, (0, y1, x1, 0),
+                                             (B, crop, crop, 3)), training)
+                for (y1, x1) in boxes
+            ]
+            crop_feats = {k: jnp.concatenate([f[k] for f in per_crop], axis=0)
+                          for k in per_crop[0]}
+        else:
+            crops = jnp.concatenate(
+                [jax.lax.dynamic_slice(img, (0, y1, x1, 0), (B, crop, crop, 3))
+                 for (y1, x1) in boxes], axis=0)  # [G*B, crop, crop, 3]
+            crop_feats = self.single_forward(crops, training)
 
         names, strides, _ = self._grouping()
         out, cnt = {}, {}

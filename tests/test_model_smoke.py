@@ -167,3 +167,28 @@ def test_panoptic_stuff_merging():
     n = int(pan.num_segments)
     assert n == 2
     assert set(cats[:n].tolist()) == {0, 2}
+
+
+def test_slide_serial_matches_batched():
+    """Training slide path (serial+remat) must equal the fused batched path."""
+    from odise_tpu.models.backbone.feature_extractor import (
+        FeatureExtractorBackbone, LdmImplicitCaptionerExtractor)
+
+    def build(serial):
+        cap = LdmImplicitCaptionerExtractor(
+            model_channels=8, vae_ch=8, context_dim=16, sd_text_layers=1,
+            clip_vit_cfg=(32, 8, 16, 1, 2, 16))
+        return FeatureExtractorBackbone(
+            feature_extractor=cap, backbone_in_size=(64, 64),
+            projection_dim=32, slide_training=True, slide_serial=serial)
+
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 128, 128, 3), jnp.float32)
+    b1 = build(False)
+    variables = b1.init(jax.random.PRNGKey(0), img, training=True)
+    out_batched = b1.apply(variables, img, training=True)
+    b2 = build(True)
+    out_serial = b2.apply(variables, img, training=True)
+    for k in out_batched:
+        np.testing.assert_allclose(np.asarray(out_serial[k]),
+                                   np.asarray(out_batched[k]),
+                                   rtol=2e-3, atol=2e-4)
