@@ -21,10 +21,11 @@ TPU-native redesign:
     the batch dimension for one fused forward — G small UNet calls become one
     large MXU-friendly call (the reference loops crops serially,
     feature_extractor.py:216-244).
-  * Frozen weights (VAE/UNet/SD-text/CLIP-vision) live under param path
-    prefixes listed in ``FROZEN_PREFIXES`` — the optimizer masks them out and
-    the checkpointer excludes them (reference freezes via requires_grad and
-    empty state_dict, helper.py:44-56).
+  * Frozen weights (VAE/UNet/SD-text/CLIP-vision) live under the param path
+    prefixes in ``parallel.mesh.FROZEN_TOWER_KEYWORDS`` — the optimizer masks
+    them out, the train step excludes them from differentiation, and the
+    checkpointer excludes them from disk (reference freezes via requires_grad
+    and empty state_dict, helper.py:44-56).
 """
 
 from __future__ import annotations
@@ -44,9 +45,6 @@ from ..clip.tokenizer import tokenize
 from ..sd.unet import UNetModel
 from ..sd.vae import AutoencoderKL
 from ..clip.model import TextTransformer
-
-# param path prefixes (relative to the owning module) that are frozen
-FROZEN_PREFIXES = ("vae", "unet", "sd_text", "clip_visual")
 
 SD_PIXEL_MEAN = 0.5  # SD normalizes [0,1] -> [-1,1]
 SD_PIXEL_STD = 0.5
