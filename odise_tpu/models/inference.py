@@ -36,12 +36,19 @@ class PanopticOutput(NamedTuple):
     num_segments: jnp.ndarray      # [] int32
 
 
+def _pixel_valid(H: int, W: int, valid_hw) -> jnp.ndarray:
+    """[H, W] bool: True inside the (dynamic) valid region."""
+    hh, ww = valid_hw
+    return (jnp.arange(H)[:, None] < hh) & (jnp.arange(W)[None, :] < ww)
+
+
 def panoptic_inference(
     mask_cls: jnp.ndarray,
     mask_pred: jnp.ndarray,
     thing_mask: jnp.ndarray,
     object_mask_threshold: float = 0.8,
     overlap_threshold: float = 0.8,
+    valid_hw=None,
 ) -> PanopticOutput:
     """Panoptic fusion for one image, fully on device.
 
@@ -51,6 +58,10 @@ def panoptic_inference(
       thing_mask: [K] bool, True where the category is a "thing".
       object_mask_threshold: score threshold (reference cfg 0.8 / ODISE 0.0).
       overlap_threshold: min surviving-area fraction.
+      valid_hw: optional (h, w) dynamic scalars — pixels outside the valid
+        region (shape-bucket padding) belong to no query and count toward no
+        area. Passing these as traced values lets ONE compiled fusion graph
+        per bucket shape serve every image in the bucket.
 
     Returns fixed-size PanopticOutput; ids are 1..num_segments in query order
     (matching the reference's sequential assignment semantics).
@@ -59,10 +70,13 @@ def panoptic_inference(
     K = K1 - 1
     H, W = mask_pred.shape[1:]
 
+    # scores/labels over ALL K+1 classes; a query confidently classified as
+    # null/background is dropped via labels != K (maskformer_model.py:288-290),
+    # regardless of the score threshold (ODISE uses object_mask_threshold=0.0).
     probs = jax.nn.softmax(mask_cls, axis=-1)
-    scores = jnp.max(probs[:, :-1], axis=-1)
-    labels = jnp.argmax(probs[:, :-1], axis=-1)
-    keep = (scores > object_mask_threshold)
+    scores = jnp.max(probs, axis=-1)
+    labels = jnp.argmax(probs, axis=-1)
+    keep = (labels != K) & (scores > object_mask_threshold)
 
     mask_prob = jax.nn.sigmoid(mask_pred)
     cur_prob_masks = scores[:, None, None] * mask_prob
@@ -71,15 +85,28 @@ def panoptic_inference(
     mask_ids = jnp.argmax(cur_prob_masks, axis=0)  # [H, W]
     any_kept = jnp.any(keep)
 
+    in_bounds = None
+    if valid_hw is not None:
+        in_bounds = _pixel_valid(H, W, valid_hw)
+        mask_ids = jnp.where(in_bounds, mask_ids, -1)  # pad: no winner
+
     isthing_q = jnp.take(thing_mask, jnp.clip(labels, 0, K - 1))
 
     won = (mask_ids[None] == jnp.arange(Q)[:, None, None]) & (mask_prob >= 0.5)
-    mask_area = jnp.sum(won, axis=(1, 2))
-    original_area = jnp.sum(mask_pred >= 0.0, axis=(1, 2))  # logits>=0 <=> prob>=0.5
+    # overlap ratio uses ALL argmax-won pixels (no prob>=0.5 condition) as the
+    # numerator, matching maskformer_model.py:315-321; won (above) is only the
+    # painted mask and the mask.sum()>0 emptiness check.
+    mask_area = jnp.sum(mask_ids[None] == jnp.arange(Q)[:, None, None], axis=(1, 2))
+    won_area = jnp.sum(won, axis=(1, 2))
+    orig = mask_pred >= 0.0  # logits>=0 <=> prob>=0.5
+    if in_bounds is not None:
+        orig = orig & in_bounds
+    original_area = jnp.sum(orig, axis=(1, 2))
     valid = (
         keep
         & (mask_area > 0)
         & (original_area > 0)
+        & (won_area > 0)
         & (mask_area.astype(jnp.float32)
            >= overlap_threshold * original_area.astype(jnp.float32))
     ) & any_kept
@@ -129,22 +156,35 @@ def instance_inference(
     thing_mask: jnp.ndarray,
     topk: int = 100,
     panoptic_on: bool = True,
+    valid_hw=None,
 ) -> InstanceOutput:
-    """Instance extraction for one image (reference maskformer_model.py:344-380)."""
+    """Instance extraction for one image (reference maskformer_model.py:344-380).
+
+    Fixed-size output: when ``topk > Q*K`` (tiny vocabularies) the output is
+    silently capped at Q*K rows — downstream consumers must not assume
+    exactly ``test_topk_per_image`` rows across vocabularies.
+    """
     Q, K1 = mask_cls.shape
     K = K1 - 1
     topk = min(topk, Q * K)  # cannot exceed the score-matrix size
     scores = jax.nn.softmax(mask_cls, axis=-1)[:, :-1]  # [Q, K]
-    if panoptic_on:
-        # keep only thing classes (reference filters by metadata)
-        scores = scores * thing_mask[None].astype(scores.dtype)
+    # top-k over the UNMASKED matrix first, then drop stuff entries — the
+    # reference filters things AFTER topk (maskformer_model.py:352-368), so
+    # stuff entries consume top-k slots rather than being replaced by extra
+    # low-score thing detections. Dropped entries are flagged with score 0
+    # (fixed shapes); hosts filter scores > 0.
     flat = scores.reshape(-1)
     top_scores, top_idx = jax.lax.top_k(flat, topk)
     top_classes = (top_idx % K).astype(jnp.int32)
     top_query = top_idx // K
+    if panoptic_on:
+        is_thing = jnp.take(thing_mask, top_classes)
+        top_scores = jnp.where(is_thing, top_scores, 0.0)
     masks_logits = jnp.take(mask_pred, top_query, axis=0)  # [topk, H, W]
     mask_prob = jax.nn.sigmoid(masks_logits)
     mask_bin = masks_logits > 0
+    if valid_hw is not None:  # bucket padding contributes no mask pixels
+        mask_bin = mask_bin & _pixel_valid(*masks_logits.shape[1:], valid_hw)
     mask_scores = (jnp.sum(mask_prob * mask_bin, axis=(1, 2))
                    / (jnp.sum(mask_bin, axis=(1, 2)) + 1e-6))
     return InstanceOutput(top_scores * mask_scores, top_classes, mask_bin, mask_scores)
