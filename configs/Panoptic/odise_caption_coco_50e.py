@@ -31,6 +31,9 @@ optimizer.lr = 1e-4
 optimizer.weight_decay = 0.05
 optimizer.grad_clip = "${train.grad_clip}"
 optimizer.milestones = [163889, 177546]
+# linear warmup, COCO LSJ setting (reference odise_caption_coco_50e.py:40-42)
+optimizer.warmup_steps = 500
+optimizer.warmup_factor = 0.067
 
 _eval = get_config("common/data/pano_open_d2_eval.py")
 extra_task = dict(

@@ -20,6 +20,10 @@ optimizer.weight_decay = 0.05
 optimizer.grad_clip = "${train.grad_clip}"
 # milestones of a 184,375-iter (100e) schedule, applied to the 50e run
 optimizer.milestones = [163889, 177546]
+# linear warmup, COCO LSJ setting (reference odise_label_coco_50e.py:41-43:
+# warmup_length = 500/184375 iters of the 100e schedule, factor 0.067)
+optimizer.warmup_steps = 500
+optimizer.warmup_factor = 0.067
 
 # extra open-vocab eval tasks (large vocabularies only at the final iter)
 _eval = get_config("common/data/pano_open_d2_eval.py")

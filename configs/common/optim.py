@@ -9,4 +9,6 @@ AdamW = L(make_optimizer)(
     betas=(0.9, 0.999),
     grad_clip=0.01,
     milestones=(),
+    warmup_steps=0,
+    warmup_factor=1e-3,
 )

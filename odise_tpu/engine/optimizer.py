@@ -65,9 +65,10 @@ def multistep_lr(base_lr: float, milestones: Sequence[int], gamma: float = 0.1,
 def make_optimizer(params, *, lr=1e-4, weight_decay: float = 0.05,
                    milestones: Sequence[int] = (), gamma: float = 0.1,
                    grad_clip: float = 0.01, betas=(0.9, 0.999),
-                   warmup_steps: int = 0) -> optax.GradientTransformation:
+                   warmup_steps: int = 0,
+                   warmup_factor: float = 1e-3) -> optax.GradientTransformation:
     """AdamW + global-norm clip + frozen masking + multistep LR."""
-    schedule = (multistep_lr(lr, milestones, gamma, warmup_steps)
+    schedule = (multistep_lr(lr, milestones, gamma, warmup_steps, warmup_factor)
                 if (milestones or warmup_steps) else lr)
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip) if grad_clip else optax.identity(),
