@@ -7,7 +7,7 @@ train = dict(
     max_iter=92188,
     bf16=True,  # TPU-native replacement for the reference's AMP flag
     grad_clip=0.01,
-    checkpointer=dict(period=4500, max_to_keep=2),
+    checkpointer=dict(period=4500, max_to_keep=2, backend="orbax"),
     eval_period=5000,
     log_period=50,
     device="tpu",

@@ -11,6 +11,15 @@ Design: a param leaf is "frozen" iff its path matches
 ``parallel.mesh.is_frozen_path``; save() strips those leaves, load() restores
 them from the in-memory init (they are re-fetched from original sources by
 the converter, mirroring the reference re-downloading SD/CLIP).
+
+Backends: ``orbax`` (default) writes a ``<name>.orbax/`` directory holding
+two orbax pytree checkpoints — ``state`` (trainable params + step + extra)
+and ``opt`` (the optax state, restored into a caller-provided target tree so
+namedtuple structure survives). Saves are asynchronous: ``save()`` enqueues
+and returns; bookkeeping (last_checkpoint pointer, GC) is deferred until the
+write is durable, and any read path waits for in-flight writes first.
+``pickle`` is the single-file fallback; legacy round-1 layouts (pickle .ckpt,
+orbax-with-opt_state.pkl) still load.
 """
 
 from __future__ import annotations
@@ -18,6 +27,7 @@ from __future__ import annotations
 import logging
 import os
 import pickle
+import shutil
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -59,54 +69,78 @@ def merge_params(base: dict, override: dict) -> dict:
 
 
 class Checkpointer:
-    """Save/load train state; frozen towers excluded from disk.
-
-    ``backend="pickle"`` (default) writes single-file .ckpt pickles;
-    ``backend="orbax"`` uses orbax-checkpoint directories (async-capable,
-    cloud-storage friendly).
-    """
+    """Save/load train state; frozen towers excluded from disk."""
 
     def __init__(self, save_dir: str, max_to_keep: int = 2,
-                 backend: str = "pickle"):
+                 backend: str = "orbax", async_save: bool = True):
         assert backend in ("pickle", "orbax")
         self.save_dir = save_dir
         self.max_to_keep = max_to_keep
         self.backend = backend
+        self.async_save = async_save and backend == "orbax"
+        self._pending: Optional[str] = None  # name with an in-flight write
+        self._state_ckptr = None
+        self._opt_ckptr = None
         os.makedirs(save_dir, exist_ok=True)
+
+    # -- orbax plumbing -----------------------------------------------------
+    def _ckptrs(self):
+        if self._state_ckptr is None:
+            import orbax.checkpoint as ocp
+
+            self._state_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+            self._opt_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        return self._state_ckptr, self._opt_ckptr
+
+    def wait(self):
+        """Block until any in-flight async save is durable, then finalize."""
+        if self._pending is None:
+            return
+        state_ckptr, opt_ckptr = self._ckptrs()
+        state_ckptr.wait_until_finished()
+        opt_ckptr.wait_until_finished()
+        name, self._pending = self._pending, None
+        self._finalize(name)
+
+    def _finalize(self, name: str):
+        self._write_last(name)
+        self._gc()
 
     def _path(self, name: str) -> str:
         suffix = ".orbax" if self.backend == "orbax" else ".ckpt"
         return os.path.join(self.save_dir, f"{name}{suffix}")
 
+    # -- save ----------------------------------------------------------------
     def save(self, name: str, params, opt_state=None, step: int = 0,
              extra: Optional[Dict[str, Any]] = None) -> str:
         trainable, _ = split_frozen(params)
-        payload = {
-            "params": trainable,
-            "opt_state": jax.tree_util.tree_map(np.asarray, opt_state)
-            if opt_state is not None else None,
-            "step": step,
-            "extra": extra or {},
-        }
+        opt_host = (jax.tree_util.tree_map(np.asarray, opt_state)
+                    if opt_state is not None else None)
         path = self._path(name)
         if self.backend == "orbax":
-            import orbax.checkpoint as ocp
-
-            ckptr = ocp.PyTreeCheckpointer()
-            ckptr.save(os.path.abspath(path),
-                       {"params": payload["params"], "step": step,
-                        "extra": payload["extra"]},
-                       force=True)
-            if payload["opt_state"] is not None:
-                with open(os.path.join(path, "opt_state.pkl"), "wb") as f:
-                    pickle.dump(payload["opt_state"], f, protocol=4)
+            self.wait()  # at most one save in flight
+            state_ckptr, opt_ckptr = self._ckptrs()
+            state_tree = {"params": trainable, "step": step}
+            if extra:
+                state_tree["extra"] = dict(extra)
+            os.makedirs(path, exist_ok=True)
+            state_ckptr.save(os.path.abspath(os.path.join(path, "state")),
+                             state_tree, force=True)
+            if opt_host is not None:
+                opt_ckptr.save(os.path.abspath(os.path.join(path, "opt")),
+                               opt_host, force=True)
+            self._pending = name
+            if not self.async_save:
+                self.wait()
         else:
+            payload = {"params": trainable, "opt_state": opt_host,
+                       "step": step, "extra": extra or {}}
             with open(path + ".tmp", "wb") as f:
                 pickle.dump(payload, f, protocol=4)
             os.replace(path + ".tmp", path)
-        self._write_last(name)
-        self._gc()
-        logger.info("Saved checkpoint to %s", path)
+            self._finalize(name)
+        logger.info("Saved checkpoint to %s%s", path,
+                    " (async)" if self._pending else "")
         return path
 
     def _write_last(self, name: str):
@@ -114,14 +148,13 @@ class Checkpointer:
             f.write(name)
 
     def _gc(self):
-        suffix = ".orbax" if self.backend == "orbax" else ".ckpt"
         ckpts = sorted(
-            (f for f in os.listdir(self.save_dir) if f.endswith(suffix)),
+            (f for f in os.listdir(self.save_dir)
+             if f.endswith(".ckpt") or f.endswith(".orbax")),
             key=lambda f: os.path.getmtime(os.path.join(self.save_dir, f)))
-        keep_always = {f"model_final{suffix}", f"model_best{suffix}"}
+        keep_always = {"model_final.ckpt", "model_best.ckpt",
+                       "model_final.orbax", "model_best.orbax"}
         removable = [c for c in ckpts if c not in keep_always]
-        import shutil
-
         while len(removable) > self.max_to_keep:
             victim = os.path.join(self.save_dir, removable.pop(0))
             if os.path.isdir(victim):
@@ -129,44 +162,78 @@ class Checkpointer:
             else:
                 os.remove(victim)
 
+    # -- load ----------------------------------------------------------------
     def has_checkpoint(self) -> bool:
+        self.wait()
         return os.path.isfile(os.path.join(self.save_dir, "last_checkpoint"))
 
     def get_checkpoint_file(self) -> Optional[str]:
+        self.wait()
         try:
             with open(os.path.join(self.save_dir, "last_checkpoint")) as f:
-                return self._path(f.read().strip())
+                name = f.read().strip()
         except FileNotFoundError:
             return None
+        # the pointer is backend-agnostic: prefer whichever file exists
+        for suffix in (".orbax", ".ckpt"):
+            p = os.path.join(self.save_dir, f"{name}{suffix}")
+            if os.path.exists(p):
+                return p
+        return self._path(name)
 
-    def load(self, path: str, init_params) -> Tuple[dict, Any, int, dict]:
-        """Restore trainable params over the given init (frozen kept)."""
-        if os.path.isdir(path):  # orbax directory
+    def load(self, path: str, init_params,
+             init_opt_state=None) -> Tuple[dict, Any, int, dict]:
+        """Restore trainable params over the given init (frozen kept).
+
+        ``init_opt_state``: optional optax-state target tree; when given and
+        the checkpoint carries an optimizer state, it is restored INTO that
+        structure (namedtuples preserved).
+        """
+        self.wait()
+        if os.path.isdir(path):  # orbax layouts
             import orbax.checkpoint as ocp
 
             ckptr = ocp.PyTreeCheckpointer()
-            restored = ckptr.restore(os.path.abspath(path))
+            state_dir = os.path.join(path, "state")
+            if os.path.isdir(state_dir):
+                restored = ckptr.restore(os.path.abspath(state_dir))
+                opt = None
+                opt_dir = os.path.join(path, "opt")
+                if os.path.isdir(opt_dir):
+                    if init_opt_state is not None:
+                        opt = ckptr.restore(os.path.abspath(opt_dir),
+                                            item=init_opt_state)
+                    else:
+                        logger.warning(
+                            "Checkpoint has an optimizer state but no target "
+                            "tree was provided; skipping opt_state restore")
+            else:  # legacy round-1 orbax layout
+                restored = ckptr.restore(os.path.abspath(path))
+                opt = None
+                opt_pkl = os.path.join(path, "opt_state.pkl")
+                if os.path.isfile(opt_pkl):
+                    with open(opt_pkl, "rb") as f:
+                        opt = pickle.load(f)
             payload = {"params": restored["params"],
                        "step": int(restored.get("step", 0)),
-                       "extra": restored.get("extra", {}),
-                       "opt_state": None}
-            opt_pkl = os.path.join(path, "opt_state.pkl")
-            if os.path.isfile(opt_pkl):
-                with open(opt_pkl, "rb") as f:
-                    payload["opt_state"] = pickle.load(f)
+                       "extra": dict(restored.get("extra", {}) or {}),
+                       "opt_state": opt}
         else:
             with open(path, "rb") as f:
                 payload = pickle.load(f)
         params = merge_params(init_params, payload["params"])
         self._report_missing(init_params, payload["params"])
-        return params, payload.get("opt_state"), payload.get("step", 0), payload.get("extra", {})
+        return (params, payload.get("opt_state"), payload.get("step", 0),
+                payload.get("extra", {}))
 
-    def resume_or_load(self, path: Optional[str], init_params, resume: bool):
+    def resume_or_load(self, path: Optional[str], init_params, resume: bool,
+                       init_opt_state=None):
         """resume=True: prefer last checkpoint in save_dir; else load path."""
         if resume and self.has_checkpoint():
-            return self.load(self.get_checkpoint_file(), init_params)
+            return self.load(self.get_checkpoint_file(), init_params,
+                             init_opt_state)
         if path:
-            return self.load(path, init_params)
+            return self.load(path, init_params, init_opt_state)
         return init_params, None, 0, {}
 
     @staticmethod

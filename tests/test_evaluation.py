@@ -93,9 +93,11 @@ def test_instance_ap_false_positive_ranked_low():
     np.testing.assert_allclose(r["AP50"], 100.0, rtol=1e-5)
 
 
-def test_checkpointer_roundtrip(tmp_path):
-    import jax.numpy as jnp
+import pytest
 
+
+@pytest.mark.parametrize("backend", ["pickle", "orbax"])
+def test_checkpointer_roundtrip(tmp_path, backend):
     from odise_tpu.engine.checkpoint import Checkpointer, split_frozen
 
     params = {
@@ -107,7 +109,7 @@ def test_checkpointer_roundtrip(tmp_path):
     assert "unet" not in trainable.get("backbone", {})
     assert "clip_project" in trainable["backbone"]
 
-    ck = Checkpointer(str(tmp_path), max_to_keep=2)
+    ck = Checkpointer(str(tmp_path), max_to_keep=2, backend=backend)
     ck.save("model_0000001", params, opt_state=None, step=1)
     assert ck.has_checkpoint()
 
@@ -123,15 +125,54 @@ def test_checkpointer_roundtrip(tmp_path):
     np.testing.assert_allclose(loaded["backbone"]["clip_project"]["w"], 2.0)
 
 
-def test_checkpointer_gc_keeps_max(tmp_path):
+@pytest.mark.parametrize("backend", ["pickle", "orbax"])
+def test_checkpointer_opt_state_roundtrip(tmp_path, backend):
+    """The REAL optimizer state (optax namedtuple chain incl. the frozen
+    multi_transform mask) must survive a save/load cycle structurally intact."""
+    import jax
+
+    from odise_tpu.engine.checkpoint import Checkpointer
+    from odise_tpu.engine.optimizer import make_optimizer
+
+    params = {"decoder": {"w": np.ones((2, 2), np.float32),
+                          "bias": np.zeros((2,), np.float32)}}
+    tx = make_optimizer(params, lr=1e-4, milestones=(10,), grad_clip=0.01,
+                        warmup_steps=5)
+    opt = tx.init(params)
+    grads = jax.tree_util.tree_map(lambda x: np.full_like(x, 0.5), params)
+    updates, opt = tx.update(grads, opt, params)  # non-trivial moments
+
+    ck = Checkpointer(str(tmp_path), backend=backend)
+    ck.save("model_0000001", params, opt_state=opt, step=1)
+
+    tx2 = make_optimizer(params, lr=1e-4, milestones=(10,), grad_clip=0.01,
+                         warmup_steps=5)
+    target = tx2.init(jax.tree_util.tree_map(np.zeros_like, params))
+    _, opt_loaded, step, _ = ck.resume_or_load(None, params, resume=True,
+                                               init_opt_state=target)
+    assert step == 1
+    assert opt_loaded is not None
+    assert (jax.tree_util.tree_structure(opt_loaded)
+            == jax.tree_util.tree_structure(opt))
+    for a, b in zip(jax.tree_util.tree_leaves(opt_loaded),
+                    jax.tree_util.tree_leaves(opt)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # the restored state must drive another update without error
+    tx2.update(grads, opt_loaded, params)
+
+
+@pytest.mark.parametrize("backend", ["pickle", "orbax"])
+def test_checkpointer_gc_keeps_max(tmp_path, backend):
     from odise_tpu.engine.checkpoint import Checkpointer
 
-    ck = Checkpointer(str(tmp_path), max_to_keep=2)
+    ck = Checkpointer(str(tmp_path), max_to_keep=2, backend=backend)
     params = {"a": np.zeros(1)}
-    import os, time
+    import os
     for i in range(4):
         ck.save(f"model_{i:07d}", params, step=i)
-    ckpts = [f for f in os.listdir(tmp_path) if f.endswith(".ckpt")]
+    ck.wait()
+    suffix = ".orbax" if backend == "orbax" else ".ckpt"
+    ckpts = [f for f in os.listdir(tmp_path) if f.endswith(suffix)]
     assert len(ckpts) == 2
 
 
@@ -154,8 +195,6 @@ def test_event_storage_and_writers(tmp_path):
 
 
 def test_checkpointer_orbax_roundtrip(tmp_path):
-    import pytest
-
     pytest.importorskip("orbax.checkpoint")
     from odise_tpu.engine.checkpoint import Checkpointer
 
@@ -166,7 +205,8 @@ def test_checkpointer_orbax_roundtrip(tmp_path):
     assert ck.has_checkpoint()
     init = {"decoder": {"w": np.zeros((2, 2), np.float32)},
             "backbone": {"unet": {"w": np.full((3,), 5.0, np.float32)}}}
-    loaded, opt, step, _ = ck.resume_or_load(None, init, resume=True)
+    loaded, opt, step, _ = ck.resume_or_load(
+        None, init, resume=True, init_opt_state={"m": np.zeros((2,))})
     assert step == 1
     np.testing.assert_allclose(loaded["decoder"]["w"], 1.0)
     np.testing.assert_allclose(loaded["backbone"]["unet"]["w"], 5.0)
