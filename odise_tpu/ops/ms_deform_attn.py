@@ -103,6 +103,79 @@ def _fused_impl(value, spatial_shapes, sampling_locations, attention_weights):
     return out.reshape(B, Len_q, n_heads * head_dim)
 
 
+def _quad_impl(value, spatial_shapes, sampling_locations, attention_weights):
+    """Quad-row gather: 4x fewer gather transactions than ``fused``.
+
+    The four bilinear corners of a sample sit at flat offsets {0, 1, w, w+1}
+    from the top-left corner. Per level, pre-concatenate each row with its
+    three neighbors (one-position / one-row / one-row-one-position shifts,
+    cyclic) into a [h*w, 4*head_dim] table — three jnp.roll copies, pure
+    HBM streaming — so ONE gathered 4*head_dim row carries all 4 corners.
+    The gather is transaction-bound on TPU (each row is an independent HBM
+    access), so quartering the row count quarters the hot-loop cost.
+
+    Exactness: the top-left flat index is taken modulo h*w (cyclic roll
+    semantics). Any VALID corner's offset lands on its true flat position
+    under this wrap; INVALID corners (sample outside the level) wrap to
+    arbitrary rows but their bilinear weight is masked to 0, identical to
+    the ``fused`` path's per-corner clip+mask.
+    """
+    B, Len_v, n_heads, head_dim = value.shape
+    _, Len_q, _, n_levels, n_points, _ = sampling_locations.shape
+
+    # per-level quad tables, concatenated level-major:
+    # [B*H, Len_v, 4*head_dim] row table addressed by bh*Len_v + lvl_off + i
+    v_bh = value.transpose(0, 2, 1, 3).reshape(B * n_heads, Len_v, head_dim)
+    quad_parts = []
+    offset = 0
+    for (h, w) in spatial_shapes:
+        lvl = v_bh[:, offset:offset + h * w]
+        quad_parts.append(jnp.concatenate([
+            lvl,
+            jnp.roll(lvl, -1, axis=1),
+            jnp.roll(lvl, -w, axis=1),
+            jnp.roll(lvl, -(w + 1), axis=1),
+        ], axis=-1))
+        offset += h * w
+    quad = jnp.concatenate(quad_parts, axis=1).reshape(
+        B * n_heads * Len_v, 4 * head_dim)
+
+    bh_base = (jnp.arange(B)[:, None, None, None] * n_heads
+               + jnp.arange(n_heads)[None, None, :, None]) * Len_v  # [B,1,H,1]
+
+    idx_parts = []
+    wgt_parts = []
+    offset = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        loc = sampling_locations[:, :, :, lvl].astype(jnp.float32)  # [B,Lq,H,P,2]
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        a_lvl = attention_weights[:, :, :, lvl].astype(jnp.float32)
+        corner_w = []
+        for dy in (0, 1):
+            for dx in (0, 1):  # roll order: +0, +1, +w, +w+1
+                xi = x0 + dx
+                yi = y0 + dy
+                wgt = (1.0 - jnp.abs(x - xi)) * (1.0 - jnp.abs(y - yi))
+                valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+                corner_w.append(wgt * valid.astype(wgt.dtype) * a_lvl)
+        # top-left flat index, wrapped cyclically within the level
+        base = (y0.astype(jnp.int32) * w + x0.astype(jnp.int32)) % (h * w)
+        idx_parts.append((base + offset + bh_base).reshape(-1))
+        wgt_parts.append(jnp.stack(corner_w, axis=-1))  # [B,Lq,H,P,4]
+        offset += h * w
+
+    idx = jnp.concatenate(idx_parts)  # [L*B*Lq*H*P]
+    gathered = jnp.take(quad, idx, axis=0)  # one gather, 4*head_dim rows
+    gathered = gathered.reshape(
+        n_levels, B, Len_q, n_heads, n_points, 4, head_dim)
+    wgt = jnp.stack(wgt_parts).astype(gathered.dtype)  # [L,B,Lq,H,P,4]
+    out = jnp.einsum("lbqhpnc,lbqhpn->bqhc", gathered, wgt)
+    return out.reshape(B, Len_q, n_heads * head_dim)
+
+
 def ms_deform_attn(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -129,6 +202,9 @@ def ms_deform_attn(
     if impl == "fused":
         return _fused_impl(value, spatial_shapes, sampling_locations,
                            attention_weights)
+    if impl == "quad":
+        return _quad_impl(value, spatial_shapes, sampling_locations,
+                          attention_weights)
     if impl in ("reference", "xla"):
         return _reference_impl(value, spatial_shapes, sampling_locations,
                                attention_weights)

@@ -170,3 +170,35 @@ def test_ms_deform_attn_fused_differentiable():
     w = jnp.full((1, 3, 2, 1, 2), 0.5)
     g = jax.grad(lambda v: jnp.sum(ms_deform_attn(v, shapes, loc, w) ** 2))(value)
     assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).sum()) > 0
+
+
+def test_ms_deform_attn_quad_matches_reference():
+    """Quad-row gather must be numerically identical to the fused/reference
+    paths, including out-of-bounds corner masking and the cyclic wrap of the
+    top-left index (negative x0/y0, bottom/right edges)."""
+    rng = np.random.RandomState(13)
+    shapes = [(6, 8), (3, 4), (5, 5)]
+    B, n_heads, hd, Lq, n_points = 2, 4, 8, 10, 4
+    Lv = sum(h * w for h, w in shapes)
+    value = rng.randn(B, Lv, n_heads, hd).astype(np.float32)
+    loc = rng.rand(B, Lq, n_heads, len(shapes), n_points, 2).astype(np.float32)
+    # heavy out-of-bounds coverage: corners off every edge
+    loc = loc * 1.8 - 0.4
+    w = rng.rand(B, Lq, n_heads, len(shapes), n_points).astype(np.float32)
+    w /= w.sum(axis=(-2, -1), keepdims=True)
+
+    ref = np.asarray(ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(loc),
+                                    jnp.asarray(w), impl="reference"))
+    quad = np.asarray(ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(loc),
+                                     jnp.asarray(w), impl="quad"))
+    np.testing.assert_allclose(quad, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_ms_deform_attn_quad_differentiable():
+    shapes = [(4, 4)]
+    value = jnp.ones((1, 16, 2, 4))
+    loc = jnp.full((1, 3, 2, 1, 2, 2), 0.5)
+    w = jnp.full((1, 3, 2, 1, 2), 0.5)
+    g = jax.grad(lambda v: jnp.sum(
+        ms_deform_attn(v, shapes, loc, w, impl="quad") ** 2))(value)
+    assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).sum()) > 0
