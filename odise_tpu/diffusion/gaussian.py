@@ -385,12 +385,19 @@ class SpacedDiffusion(GaussianDiffusion):
         super().__init__(betas=np.asarray(new_betas), **kwargs)
 
     def _wrap(self, model):
+        # already-wrapped guard (reference respace.py checks _WrappedModel):
+        # training_losses(kl) wraps, then _vb_terms_bpd re-enters
+        # p_mean_variance — without the guard t would map through
+        # timestep_map twice (jnp.take clips silently -> wrong timesteps).
+        if getattr(model, "_spaced_wrapped", False):
+            return model
         tmap = self.timestep_map
 
         def wrapped(x, t, **kw):
             mapped = jnp.take(jnp.asarray(tmap), t)
             return model(x, mapped, **kw)
 
+        wrapped._spaced_wrapped = True
         return wrapped
 
     def p_mean_variance(self, model, *args, **kwargs):

@@ -383,9 +383,9 @@ class CaptionODISE(nn.Module):
         outputs = self.forward_features(images, training=False)
         # binary classification from pred_logits (fg, bg) (odise.py:428-430)
         mask_pred = outputs["pred_masks"]
-        binary = outputs["pred_logits"]  # [B, Q, 2] via PseudoClassEmbed? no:
         # CaptionODISE's predictor is configured with num_classes=1, so
-        # pred_logits is [B, Q, 2] (fg, bg).
+        # pred_logits is [B, Q, 2] = (fg, bg).
+        binary = outputs["pred_logits"]
         word = self.word_head(text_embed_raw[None])  # project vocab like words
         word_embed = word["word_embed"][0]
         # cosine open logits with the projected vocabulary
