@@ -93,6 +93,8 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
     from odise_tpu.models.wrapper import OpenPanopticInference
     from PIL import Image
 
+    from odise_tpu.evaluation.buckets import compute_eval_buckets, pick_bucket
+
     results = {}
     tasks = {"main": {"wrapper": cfg.dataloader.wrapper,
                       "dataset": cfg.dataloader.wrapper["dataset_name"]}}
@@ -101,6 +103,20 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
             continue
         tasks[name] = {"wrapper": t["task"]["wrapper"],
                        "dataset": t["task"]["wrapper"]["dataset_name"]}
+
+    eval_short = cfg.dataloader.get("eval_short_side", 1024)
+    eval_max = cfg.dataloader.get("eval_max_size", 2560)
+    # pad into canonical shape buckets: one compiled graph per (vocab, bucket)
+    # instead of one per image shape (SURVEY hard part #5)
+    buckets = (compute_eval_buckets(eval_short, eval_max)
+               if cfg.dataloader.get("eval_bucketed", True) else None)
+
+    # fusion jitted once; (h, w) passed as traced scalars so every image in a
+    # bucket reuses the same graph (recompiles only per bucket / vocab size)
+    pan_fuse = jax.jit(lambda mc, mp, tm, hw: panoptic_inference(
+        mc, mp, tm,
+        object_mask_threshold=float(model.object_mask_threshold),
+        overlap_threshold=float(model.overlap_threshold), valid_hw=hw))
 
     for task_name, task in tasks.items():
         wrapper_cfg = instantiate(task["wrapper"])
@@ -140,8 +156,9 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
         from odise_tpu.data.transforms import rgb2id
 
         inst_ev = InstanceSegEvaluator(num_classes=K)
-        resize = ResizeShortestEdge(cfg.dataloader.get("eval_short_side", 1024),
-                                    cfg.dataloader.get("eval_max_size", 2560))
+        resize = ResizeShortestEdge(eval_short, eval_max)
+        inst_fuse = jax.jit(lambda mc, mp, tm, hw: instance_inference(
+            mc, mp, tm, topk=int(model.test_topk_per_image), valid_hw=hw))
         import cv2
 
         t_start = time.perf_counter()
@@ -153,9 +170,12 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
             ai = resize(AugInput(image=img))
             h, w = ai.image.shape[:2]
             h64, w64 = -(-h // 64) * 64, -(-w // 64) * 64
-            padded = np.zeros((1, h64, w64, 3), np.float32)
+            bh, bw = (pick_bucket(h64, w64, buckets) or (h64, w64)) if buckets \
+                else (h64, w64)
+            padded = np.zeros((1, bh, bw, 3), np.float32)
             padded[0, :h, :w] = ai.image.astype(np.float32) / 255.0
             mask_cls, mask_pred = infer(jnp.asarray(padded))
+            valid_hw = (jnp.int32(h), jnp.int32(w))
 
             if semantic_on and "sem_seg_file_name" in rec and os.path.isfile(
                     rec["sem_seg_file_name"]):
@@ -171,14 +191,13 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
             if panoptic_on and ("pan_seg" in rec or (
                     "pan_seg_file_name" in rec
                     and os.path.isfile(rec["pan_seg_file_name"]))):
-                # crop padding BEFORE fusion: pad pixels must not count
-                # toward mask areas / overlap ratios (reference
-                # sem_seg_postprocess_before_inference semantics)
-                pan = panoptic_inference(
-                    mask_cls[0], mask_pred[0, :, :h, :w], thing_mask_arr,
-                    object_mask_threshold=float(model.object_mask_threshold),
-                    overlap_threshold=float(model.overlap_threshold))
-                pan_seg = np.asarray(pan.panoptic_seg)
+                # pad pixels must not count toward mask areas / overlap
+                # ratios (reference sem_seg_postprocess_before_inference
+                # semantics): fusion masks them via valid_hw, so one graph
+                # per bucket serves every image in it
+                pan = pan_fuse(mask_cls[0], mask_pred[0], thing_mask_arr,
+                               valid_hw)
+                pan_seg = np.asarray(pan.panoptic_seg)[:h, :w]
                 pan_seg = cv2.resize(pan_seg.astype(np.int32), (ow, oh),
                                      interpolation=cv2.INTER_NEAREST)
                 nseg = int(pan.num_segments)
@@ -198,10 +217,9 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
                                pred_segments)
 
             if instance_on and "segments_info" in rec:
-                inst = instance_inference(mask_cls[0], mask_pred[0, :, :h, :w],
-                                          thing_mask_arr,
-                                          topk=model.test_topk_per_image)
-                masks = np.asarray(inst.masks)
+                inst = inst_fuse(mask_cls[0], mask_pred[0], thing_mask_arr,
+                                 valid_hw)
+                masks = np.asarray(inst.masks)[:, :h, :w]
                 masks_r = np.stack([
                     cv2.resize(m.astype(np.uint8), (ow, oh),
                                interpolation=cv2.INTER_NEAREST).astype(bool)
@@ -221,10 +239,15 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
                             continue
                         gt_masks.append(gt_ids == s["id"])
                         gt_classes.append(s["category_id"])
-                    if gt_masks:
-                        inst_ev.process(masks_r, np.asarray(inst.classes),
-                                        np.asarray(inst.scores),
-                                        np.stack(gt_masks), np.asarray(gt_classes))
+                    # always process — detections on images with no thing GT
+                    # must register as false positives (COCOeval semantics)
+                    gt_masks_arr = (np.stack(gt_masks) if gt_masks
+                                    else np.zeros((0, oh, ow), bool))
+                    scores_arr = np.asarray(inst.scores)
+                    keeps = scores_arr > 0  # drop stuff-flagged (score=0) rows
+                    inst_ev.process(masks_r[keeps], np.asarray(inst.classes)[keeps],
+                                    scores_arr[keeps],
+                                    gt_masks_arr, np.asarray(gt_classes, np.int64))
             n += 1
         dt = time.perf_counter() - t_start
         r = {}
@@ -295,13 +318,17 @@ def do_train(args, cfg):
     tx = make_optimizer(params, lr=cfg.optimizer.lr,
                         weight_decay=cfg.optimizer.weight_decay,
                         milestones=tuple(cfg.optimizer.milestones),
-                        grad_clip=cfg.optimizer.grad_clip)
+                        grad_clip=cfg.optimizer.grad_clip,
+                        warmup_steps=int(cfg.optimizer.get("warmup_steps", 0)),
+                        warmup_factor=float(cfg.optimizer.get("warmup_factor", 1e-3)))
     opt_state = tx.init(params)
 
     ck = Checkpointer(os.path.join(cfg.train.output_dir, "checkpoints"),
-                      max_to_keep=cfg.train.checkpointer.max_to_keep)
+                      max_to_keep=cfg.train.checkpointer.max_to_keep,
+                      backend=cfg.train.checkpointer.get("backend", "orbax"))
     params, loaded_opt, start_iter, _ = ck.resume_or_load(
-        args.init_from or None, params, resume=args.resume)
+        args.init_from or None, params, resume=args.resume,
+        init_opt_state=opt_state)
     if loaded_opt is not None:
         opt_state = loaded_opt
 
@@ -381,14 +408,20 @@ def do_train(args, cfg):
                 jax.device_get(state.opt_state), cfg.train.max_iter)
         if cfg.train.eval_period > 0:
             run_eval(state, final_iter=True)
+        ck.wait()  # async saves must be durable before exit
 
     return state
 
 
 def main():
     args = parse_args()
-    from odise_tpu.config import apply_overrides, auto_scale_workers, load_config
     import jax
+
+    if os.environ.get("ODISE_TPU_FORCE_CPU"):
+        # the ambient sitecustomize re-selects the TPU relay even when
+        # JAX_PLATFORMS=cpu is exported; pin via config for local testing
+        jax.config.update("jax_platforms", "cpu")
+    from odise_tpu.config import apply_overrides, auto_scale_workers, load_config
 
     cfg = load_config(args.config_file)
     if args.output:
