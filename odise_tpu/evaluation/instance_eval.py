@@ -3,13 +3,13 @@
 Capability parity with the reference's ``InstanceSegEvaluator``
 (reference odise/evaluation/d2_evaluator.py:117-181, which defers to
 pycocotools' COCOeval): COCO-style mask AP averaged over IoU thresholds
-0.50:0.95:0.05, with greedy score-ordered matching per category and the
-standard 101-point interpolated precision.
+0.50:0.95:0.05, with greedy score-ordered per-image matching, crowd-gt
+ignore handling, area-range splits (AP / APs / APm / APl), maxDets capping
+and the standard 101-point interpolated precision.
 
-This is a faithful re-implementation of the metric definition (not of
-pycocotools internals): per-category, predictions across all images are
-sorted by score; each is matched to the best unmatched GT with IoU >=
-threshold; AP is the area under the interpolated P-R curve.
+This re-implements the metric definition (not pycocotools internals);
+``tests/test_eval_cross_validation.py`` pins equality against a literal
+port of COCOeval's evaluateImg/accumulate on randomized fixtures.
 """
 
 from __future__ import annotations
@@ -19,13 +19,41 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-IOU_THRS = np.arange(0.5, 1.0, 0.05)
+IOU_THRS = np.linspace(0.5, 0.95, 10)
+REC_THRS = np.linspace(0.0, 1.0, 101)
+AREA_RNG = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
 
 
 def mask_iou(pred: np.ndarray, gt: np.ndarray) -> float:
+    """Pairwise IoU of two bool masks (native C path w/ numpy fallback)."""
     from ..native import mask_iou as _native_iou
 
     return _native_iou(pred, gt)
+
+
+def mask_iou_matrix(dt_masks: np.ndarray, gt_masks: np.ndarray,
+                    gt_crowd: np.ndarray) -> np.ndarray:
+    """[D, G] IoU; for crowd gt, IoU = intersection / det area
+    (pycocotools maskUtils.iou iscrowd semantics)."""
+    D, G = len(dt_masks), len(gt_masks)
+    out = np.zeros((D, G), np.float64)
+    if D == 0 or G == 0:
+        return out
+    # f32 matmul: pixel counts < 2^24 stay exact, half the memory of f64
+    dt = dt_masks.reshape(D, -1).astype(np.float32)
+    gt = gt_masks.reshape(G, -1).astype(np.float32)
+    inter = (dt @ gt.T).astype(np.float64)
+    d_area = dt.sum(1, dtype=np.float64)
+    g_area = gt.sum(1, dtype=np.float64)
+    union = d_area[:, None] + g_area[None, :] - inter
+    denom = np.where(gt_crowd[None, :], d_area[:, None], union)
+    np.divide(inter, denom, out=out, where=denom > 0)
+    return out
 
 
 class InstanceSegEvaluator:
@@ -37,83 +65,138 @@ class InstanceSegEvaluator:
         self.reset()
 
     def reset(self):
-        # per category: list of (score, image_id, iou_vector vs each gt)
-        self._preds = defaultdict(list)
-        self._gt_count = defaultdict(int)
+        # per (img, cat): dict with dt scores/areas, gt areas/crowd, iou matrix
+        self._by_img_cat: Dict[tuple, dict] = {}
         self._img_counter = 0
 
     def process(self, pred_masks: np.ndarray, pred_classes: np.ndarray,
                 pred_scores: np.ndarray, gt_masks: np.ndarray,
-                gt_classes: np.ndarray):
+                gt_classes: np.ndarray, gt_iscrowd: Optional[np.ndarray] = None):
         """One image. pred_masks [N,H,W] bool, gt_masks [M,H,W] bool."""
         img_id = self._img_counter
         self._img_counter += 1
-        order = np.argsort(-np.asarray(pred_scores))[: self.max_dets]
-        gt_by_cat = defaultdict(list)
-        for gi, gc in enumerate(np.asarray(gt_classes)):
-            gt_by_cat[int(gc)].append(gi)
-            self._gt_count[int(gc)] += 1
-        for pi in order:
-            c = int(pred_classes[pi])
-            s = float(pred_scores[pi])
-            if s <= 0:
-                continue
-            gids = gt_by_cat.get(c, [])
-            ious = np.asarray([mask_iou(pred_masks[pi], gt_masks[g]) for g in gids])
-            self._preds[c].append((s, img_id, [(g, float(i)) for g, i in zip(gids, ious)]))
+        pred_scores = np.asarray(pred_scores, np.float64)
+        pred_classes = np.asarray(pred_classes)
+        gt_classes = np.asarray(gt_classes)
+        if gt_iscrowd is None:
+            gt_iscrowd = np.zeros(len(gt_classes), bool)
+        gt_iscrowd = np.asarray(gt_iscrowd, bool)
 
-    def _ap_for_cat(self, cat: int) -> Optional[np.ndarray]:
-        n_gt = self._gt_count.get(cat, 0)
-        preds = sorted(self._preds.get(cat, []), key=lambda x: -x[0])
+        cats = set(pred_classes.tolist()) | set(gt_classes.tolist())
+        for c in cats:
+            dsel = np.where(pred_classes == c)[0]
+            # score-sorted (stable), capped at maxDets per image-category
+            dsel = dsel[np.argsort(-pred_scores[dsel], kind="mergesort")]
+            dsel = dsel[: self.max_dets]
+            gsel = np.where(gt_classes == c)[0]
+            dt_m = pred_masks[dsel] if len(dsel) else np.zeros((0, 1, 1), bool)
+            gt_m = gt_masks[gsel] if len(gsel) else np.zeros((0, 1, 1), bool)
+            crowd = gt_iscrowd[gsel]
+
+            def areas(m):
+                return (m.reshape(m.shape[0], -1).sum(1).astype(np.float64)
+                        if m.shape[0] else np.zeros((0,), np.float64))
+
+            self._by_img_cat[(img_id, int(c))] = {
+                "dt_scores": pred_scores[dsel],
+                "dt_areas": areas(dt_m),
+                "gt_areas": areas(gt_m),
+                "gt_crowd": crowd,
+                "ious": mask_iou_matrix(dt_m, gt_m, crowd),
+            }
+
+    def _match_img_cat(self, e: dict, area_rng) -> dict:
+        """Greedy COCOeval-style matching for one (image, cat, areaRng)."""
+        T = len(IOU_THRS)
+        gt_ig = e["gt_crowd"] | (e["gt_areas"] < area_rng[0]) | \
+            (e["gt_areas"] > area_rng[1])
+        # non-ignored gts first (stable)
+        gorder = np.argsort(gt_ig.astype(np.int64), kind="mergesort")
+        ious = e["ious"][:, gorder]
+        gt_ig = gt_ig[gorder]
+        gt_crowd = e["gt_crowd"][gorder]
+        D, G = ious.shape
+        dtm = -np.ones((T, D), np.int64)
+        gtm = -np.ones((T, G), np.int64)
+        dt_ig = np.zeros((T, D), bool)
+        for ti, t in enumerate(IOU_THRS):
+            for d in range(D):
+                best = min(t, 1 - 1e-10)
+                m = -1
+                for g in range(G):
+                    if gtm[ti, g] >= 0 and not gt_crowd[g]:
+                        continue
+                    if m > -1 and not gt_ig[m] and gt_ig[g]:
+                        break  # ignores are sorted last; stop at the boundary
+                    if ious[d, g] < best:
+                        continue
+                    best = ious[d, g]
+                    m = g
+                if m == -1:
+                    continue
+                dtm[ti, d] = m
+                gtm[ti, m] = d
+                dt_ig[ti, d] = gt_ig[m]
+        # unmatched dets outside the area range are ignored too
+        out_rng = (e["dt_areas"] < area_rng[0]) | (e["dt_areas"] > area_rng[1])
+        dt_ig |= (dtm == -1) & out_rng[None, :]
+        return {"scores": e["dt_scores"], "matched": dtm >= 0, "dt_ig": dt_ig,
+                "n_gt": int((~gt_ig).sum())}
+
+    def _ap_for_cat(self, cat: int, area_rng) -> Optional[np.ndarray]:
+        entries = [self._match_img_cat(e, area_rng)
+                   for (img, c), e in self._by_img_cat.items() if c == cat]
+        if not entries:
+            return None
+        n_gt = sum(x["n_gt"] for x in entries)
         if n_gt == 0:
             return None
-        aps = np.zeros(len(IOU_THRS))
-        for ti, thr in enumerate(IOU_THRS):
-            matched = set()
-            tp = np.zeros(len(preds))
-            fp = np.zeros(len(preds))
-            for i, (s, img, ious) in enumerate(preds):
-                best, best_g = 0.0, None
-                for g, iou in ious:
-                    key = (img, g)
-                    if iou >= thr and iou > best and key not in matched:
-                        best, best_g = iou, key
-                if best_g is not None:
-                    matched.add(best_g)
-                    tp[i] = 1
-                else:
-                    fp[i] = 1
-            ctp, cfp = np.cumsum(tp), np.cumsum(fp)
-            recall = ctp / n_gt
-            precision = ctp / np.maximum(ctp + cfp, 1e-9)
-            # 101-point interpolation
-            rec_thrs = np.linspace(0, 1, 101)
-            prec_interp = np.zeros(101)
+        scores = np.concatenate([x["scores"] for x in entries])
+        order = np.argsort(-scores, kind="mergesort")
+        matched = np.concatenate([x["matched"] for x in entries], axis=1)[:, order]
+        dt_ig = np.concatenate([x["dt_ig"] for x in entries], axis=1)[:, order]
+        T = len(IOU_THRS)
+        aps = np.zeros(T)
+        for ti in range(T):
+            tp = np.cumsum(matched[ti] & ~dt_ig[ti]).astype(np.float64)
+            fp = np.cumsum(~matched[ti] & ~dt_ig[ti]).astype(np.float64)
+            recall = tp / n_gt
+            precision = tp / np.maximum(tp + fp, np.spacing(1))
+            q = np.zeros(len(REC_THRS))
             if len(precision):
-                # make precision monotonically decreasing from the right
                 for k in range(len(precision) - 2, -1, -1):
                     precision[k] = max(precision[k], precision[k + 1])
-                inds = np.searchsorted(recall, rec_thrs, side="left")
+                inds = np.searchsorted(recall, REC_THRS, side="left")
                 valid = inds < len(precision)
-                prec_interp[valid] = precision[inds[valid]]
-            aps[ti] = prec_interp.mean()
+                q[valid] = precision[inds[valid]]
+            aps[ti] = q.mean()
         return aps
 
     def evaluate(self) -> Dict[str, float]:
-        per_cat = {}
-        for c in range(self.num_classes):
-            ap = self._ap_for_cat(c)
-            if ap is not None:
-                per_cat[c] = ap
-        if not per_cat:
-            return {"AP": 0.0, "AP50": 0.0, "AP75": 0.0}
-        all_aps = np.stack(list(per_cat.values()))
-        res = {
-            "AP": 100 * all_aps.mean(),
-            "AP50": 100 * all_aps[:, 0].mean(),
-            "AP75": 100 * all_aps[:, 5].mean(),
-        }
+        cats_seen = sorted({c for (_, c) in self._by_img_cat})
+        res: Dict[str, float] = {}
+        per_cat_all: Dict[int, np.ndarray] = {}
+        for rng_name, rng in AREA_RNG.items():
+            per_cat = {}
+            for c in cats_seen:
+                ap = self._ap_for_cat(c, rng)
+                if ap is not None:
+                    per_cat[c] = ap
+            if rng_name == "all":
+                per_cat_all = per_cat
+            key = {"all": "AP", "small": "APs", "medium": "APm",
+                   "large": "APl"}[rng_name]
+            if not per_cat:
+                res[key] = 0.0
+                if rng_name == "all":
+                    res["AP50"] = res["AP75"] = 0.0
+                continue
+            all_aps = np.stack(list(per_cat.values()))
+            res[key] = 100 * all_aps.mean()
+            if rng_name == "all":
+                res["AP50"] = 100 * all_aps[:, 0].mean()
+                res["AP75"] = 100 * all_aps[:, 5].mean()
         if self.class_names is not None:
-            for c, ap in per_cat.items():
+            for c, ap in per_cat_all.items():
                 res[f"AP-{self.class_names[c]}"] = 100 * ap.mean()
         return res

@@ -233,12 +233,13 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
                 else:
                     gt_ids = None
                 if gt_ids is not None:
-                    gt_masks, gt_classes = [], []
+                    gt_masks, gt_classes, gt_crowd = [], [], []
                     for s in rec["segments_info"]:
                         if not bool(vocab.thing_mask[s["category_id"]]):
                             continue
                         gt_masks.append(gt_ids == s["id"])
                         gt_classes.append(s["category_id"])
+                        gt_crowd.append(bool(s.get("iscrowd", 0)))
                     # always process — detections on images with no thing GT
                     # must register as false positives (COCOeval semantics)
                     gt_masks_arr = (np.stack(gt_masks) if gt_masks
@@ -247,7 +248,8 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
                     keeps = scores_arr > 0  # drop stuff-flagged (score=0) rows
                     inst_ev.process(masks_r[keeps], np.asarray(inst.classes)[keeps],
                                     scores_arr[keeps],
-                                    gt_masks_arr, np.asarray(gt_classes, np.int64))
+                                    gt_masks_arr, np.asarray(gt_classes, np.int64),
+                                    np.asarray(gt_crowd, bool))
             n += 1
         dt = time.perf_counter() - t_start
         r = {}
