@@ -6,7 +6,8 @@ numeric drift; the mitigation is per-block activation diffs against captured
 reference activations. This tool produces our side of that diff: given a
 (converted) checkpoint and a fixed input, it saves the backbone taps, pixel
 decoder outputs, decoder predictions and final logits to an .npz for
-comparison with a reference-side capture of the same input.
+comparison with a reference-side capture of the same input
+(tools/verify_parity.py performs the diff and documents the workflow).
 
 Usage:
   python tools/capture_activations.py --out acts.npz \
@@ -25,44 +26,31 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="activations.npz")
-    ap.add_argument("--scale", default="full", choices=["tiny", "full"])
-    ap.add_argument("--image", default="", help="input image (else fixed ramp)")
-    ap.add_argument("--image-size", type=int, default=512)
-    ap.add_argument("--sd-ckpt", default="")
-    ap.add_argument("--clip-ckpt", default="")
-    ap.add_argument("--odise-ckpt", default="")
-    args = ap.parse_args()
+def ramp_image(S: int) -> np.ndarray:
+    """Deterministic ramp input (reproducible on the reference side)."""
+    yy, xx = np.mgrid[0:S, 0:S]
+    return np.stack([yy / S, xx / S, (yy + xx) / (2 * S)], -1).astype(np.float32)
 
+
+def build_with_weights(scale: str, *, sd_ckpt: str = "", clip_ckpt: str = "",
+                       odise_ckpt: str = "", with_clip_head: bool = False,
+                       num_labels: int = 16, seed: int = 0):
+    """(model, variables) at the given scale, with converted weights merged
+    over a deterministic random init."""
     import jax
     import jax.numpy as jnp
 
     from odise_tpu.model_zoo.factory import build_category_odise
 
-    K = 16
-    labels = tuple((f"c{i}",) for i in range(K))
-    model = build_category_odise(args.scale, train_labels=labels,
-                                 with_clip_head=False, use_checkpoint=False,
-                                 slide_training=False)
-    S = args.image_size if args.scale == "full" else 64
+    labels = tuple((f"c{i}",) for i in range(num_labels))
+    model = build_category_odise(scale, train_labels=labels,
+                                 with_clip_head=with_clip_head,
+                                 use_checkpoint=False, slide_training=False)
     clip_dim = model.category_head.clip_dim
-
-    if args.image:
-        from PIL import Image
-        import cv2
-
-        img = np.asarray(Image.open(args.image).convert("RGB"))
-        img = cv2.resize(img, (S, S)).astype(np.float32) / 255.0
-    else:
-        # deterministic ramp input (reproducible on the reference side)
-        yy, xx = np.mgrid[0:S, 0:S]
-        img = np.stack([yy / S, xx / S, (yy + xx) / (2 * S)], -1).astype(np.float32)
-    img = jnp.asarray(img[None])
-
-    variables = model.init(jax.random.PRNGKey(0), img,
-                           jnp.zeros((K, clip_dim)),
+    S = 64 if scale == "tiny" else 512
+    variables = model.init(jax.random.PRNGKey(seed),
+                           jnp.zeros((1, S, S, 3), jnp.float32),
+                           jnp.zeros((num_labels, clip_dim)),
                            method=type(model).init_full)
     params = variables["params"]
 
@@ -71,16 +59,21 @@ def main():
         convert_odise_trainable, install_clip_weights, install_sd_weights,
         load_torch_state_dict)
 
-    if args.sd_ckpt:
-        params = install_sd_weights(params, load_torch_state_dict(args.sd_ckpt))
-    if args.clip_ckpt:
-        params = install_clip_weights(params, load_torch_state_dict(args.clip_ckpt))
-    if args.odise_ckpt:
-        params = merge_params(params,
-                              convert_odise_trainable(
-                                  load_torch_state_dict(args.odise_ckpt)))
-    variables = {"params": params}
+    if sd_ckpt:
+        params = install_sd_weights(params, load_torch_state_dict(sd_ckpt))
+    if clip_ckpt:
+        params = install_clip_weights(params, load_torch_state_dict(clip_ckpt))
+    if odise_ckpt:
+        params = merge_params(params, convert_odise_trainable(
+            load_torch_state_dict(odise_ckpt)))
+    return model, {"params": params}
 
+
+def capture_activations(model, variables, img: np.ndarray) -> dict:
+    """Per-stage activations on one [H, W, 3] float image in [0, 1]."""
+    import jax.numpy as jnp
+
+    img = jnp.asarray(np.asarray(img, np.float32)[None])
     captures = {}
 
     # backbone taps (pre-projection SD activations)
@@ -100,6 +93,34 @@ def main():
     out = model.apply(variables, img, False, method=type(model).forward_features)
     for k in ("pred_logits", "pred_masks", "mask_embed", "logit_scale"):
         captures[f"head_{k}"] = np.asarray(out[k], np.float32)
+    return captures
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="activations.npz")
+    ap.add_argument("--scale", default="full", choices=["tiny", "full"])
+    ap.add_argument("--image", default="", help="input image (else fixed ramp)")
+    ap.add_argument("--image-size", type=int, default=512)
+    ap.add_argument("--sd-ckpt", default="")
+    ap.add_argument("--clip-ckpt", default="")
+    ap.add_argument("--odise-ckpt", default="")
+    args = ap.parse_args()
+
+    S = args.image_size if args.scale == "full" else 64
+    if args.image:
+        import cv2
+        from PIL import Image
+
+        img = np.asarray(Image.open(args.image).convert("RGB"))
+        img = cv2.resize(img, (S, S)).astype(np.float32) / 255.0
+    else:
+        img = ramp_image(S)
+
+    model, variables = build_with_weights(
+        args.scale, sd_ckpt=args.sd_ckpt, clip_ckpt=args.clip_ckpt,
+        odise_ckpt=args.odise_ckpt)
+    captures = capture_activations(model, variables, img)
 
     np.savez_compressed(args.out, **captures)
     print(f"wrote {args.out}: " + ", ".join(
