@@ -95,9 +95,9 @@ def make_category_train_step(
     excluded from differentiation entirely.
     """
 
-    def loss_fn(params, batch, rng):
-        if frozen_params is not None:
-            params = merge_param_trees(frozen_params, params)
+    def loss_fn(params, frozen, batch, rng):
+        if frozen is not None:
+            params = merge_param_trees(frozen, params)
         outputs = model.apply({"params": params}, batch["image"], text_embed_raw,
                               labels, method=type(model).forward_train)
         targets = {"labels": batch["gt_labels"], "masks": batch["gt_masks"],
@@ -107,9 +107,9 @@ def make_category_train_step(
         total = sum(losses.values())
         return total, losses
 
-    def step_fn(state: TrainState, batch, rng):
+    def step_fn(state: TrainState, frozen, batch, rng):
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng)
+            state.params, frozen, batch, rng)
         gnorm = global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -126,7 +126,16 @@ def make_category_train_step(
     # Sharding is carried by the input placements: callers place the batch
     # with ``batch_sharding(mesh)`` and params via ``shard_params`` /
     # replication; jit propagates them and XLA inserts the collectives.
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    # The frozen towers are a jit ARGUMENT, not a closure: closed-over
+    # concrete arrays become constants baked into the HLO (~5.4GB at full
+    # scale), which blows up compile memory — the round-1 1024px
+    # compile failure.
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    def step(state: TrainState, batch, rng):
+        return jitted(state, frozen_params, batch, rng)
+
+    return step
 
 
 def make_caption_train_step(
@@ -142,9 +151,9 @@ def make_caption_train_step(
     (reference odise.py:431-537)."""
     from ..losses import mask_grounding_criterion
 
-    def loss_fn(params, batch, rng):
-        if frozen_params is not None:
-            params = merge_param_trees(frozen_params, params)
+    def loss_fn(params, frozen, batch, rng):
+        if frozen is not None:
+            params = merge_param_trees(frozen, params)
         outputs = model.apply({"params": params}, batch["image"],
                               batch["word_tokens"],
                               method=type(model).forward_train)
@@ -162,9 +171,9 @@ def make_caption_train_step(
         total = sum(losses.values())
         return total, losses
 
-    def step_fn(state: TrainState, batch, rng):
+    def step_fn(state: TrainState, frozen, batch, rng):
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng)
+            state.params, frozen, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
@@ -172,7 +181,13 @@ def make_caption_train_step(
         metrics["grad_norm"] = global_norm(grads)
         return TrainState(state.step + 1, params, opt_state), metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    # frozen towers as a jit argument, not a closure (see category step)
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+
+    def step(state: TrainState, batch, rng):
+        return jitted(state, frozen_params, batch, rng)
+
+    return step
 
 
 def check_finite(metrics: Dict[str, jnp.ndarray], step: int) -> None:

@@ -516,19 +516,25 @@ class FeatureExtractorBackbone(nn.Module):
             # memory-lean training path: crops processed serially with the
             # whole per-crop forward rematerialized, so peak activation
             # memory is one crop instead of G (the reference is also
-            # crop-serial, feature_extractor.py:216-244). Eval keeps the
-            # fast fused batched path below.
-            serial = nn.remat(
-                type(self).single_forward, static_argnums=(2,),
-                prevent_cse=False)
-            per_crop = [
-                serial(self,
-                       jax.lax.dynamic_slice(img, (0, y1, x1, 0),
-                                             (B, crop, crop, 3)), training)
-                for (y1, x1) in boxes
-            ]
-            crop_feats = {k: jnp.concatenate([f[k] for f in per_crop], axis=0)
-                          for k in per_crop[0]}
+            # crop-serial, feature_extractor.py:216-244). lax.scan over the
+            # crop origins keeps the SD tower in the graph ONCE (a Python
+            # unroll made the 1024px train graph too large to compile).
+            # Eval keeps the fast fused batched path below.
+            def body(mdl, carry, origin):
+                crop_img = jax.lax.dynamic_slice(
+                    img, (0, origin[0], origin[1], 0), (B, crop, crop, 3))
+                return carry, mdl.single_forward(crop_img, training)
+
+            scanned = nn.scan(
+                nn.remat(body, prevent_cse=False),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0, out_axes=0)
+            _, stacked = scanned(self, None, jnp.asarray(boxes, jnp.int32))
+            # [G, B, h, w, C] -> [G*B, h, w, C] (crop-major, matching the
+            # fused path's concatenate order)
+            crop_feats = {k: v.reshape((G * B,) + v.shape[2:])
+                          for k, v in stacked.items()}
         else:
             crops = jnp.concatenate(
                 [jax.lax.dynamic_slice(img, (0, y1, x1, 0), (B, crop, crop, 3))

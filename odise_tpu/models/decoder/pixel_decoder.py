@@ -82,7 +82,13 @@ class MSDeformAttn(nn.Module):
         loc = (reference_points[:, :, None, :, None, :]
                + offsets.astype(jnp.float32) / wh[None, None, None, :, None, :])
 
-        out = ms_deform_attn(v, list(spatial_shapes), loc.astype(v.dtype), attn)
+        # sampling locations stay f32: bf16's 8-bit mantissa is a ~0.25px
+        # position error at 128px levels (20x worse bilinear output error,
+        # measured 7.4e-2 -> 3.6e-3 max rel vs f64). This is the TPU
+        # equivalent of the reference forcing fp32 around deformable attn
+        # (reference msdeformattn.py:315-320); the bf16 value table itself
+        # is benign.
+        out = ms_deform_attn(v, list(spatial_shapes), loc, attn)
         return nn.Dense(self.dim, dtype=self.dtype, name="output_proj")(out)
 
 

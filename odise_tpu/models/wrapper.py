@@ -51,8 +51,11 @@ def build_open_vocabulary(
     from .clip.tokenizer import tokenize
 
     labels = tuple(tuple(l) for l in labels)
-    encode = jax.jit(functools.partial(
-        model.apply, variables, method=type(model).encode_vocab))
+    # variables as a jit argument — a partial would bake the frozen towers
+    # into the HLO as constants (GBs at full scale)
+    encode_jit = jax.jit(functools.partial(
+        model.apply, method=type(model).encode_vocab))
+    encode = lambda toks: encode_jit(variables, toks)
 
     flat = [t for group in labels for t in group]
     text_embed_raw = encode(jnp.asarray(tokenize(flat)))

@@ -202,3 +202,35 @@ def test_ms_deform_attn_quad_differentiable():
     g = jax.grad(lambda v: jnp.sum(
         ms_deform_attn(v, shapes, loc, w, impl="quad") ** 2))(value)
     assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).sum()) > 0
+
+
+def test_auction_lap_tied_costs_matcher_distribution():
+    """Drift check on matcher-like cost matrices (VERDICT weak #5): 100
+    queries vs few targets with heavily-tied, quantized costs — the
+    distribution after convergence where many queries predict near-identical
+    masks. The auction's TOTAL cost must match scipy's optimum tightly even
+    when individual assignments differ among ties."""
+    from scipy.optimize import linear_sum_assignment as scipy_lap
+
+    rng = np.random.RandomState(42)
+    for trial in range(10):
+        Q, T = 100, rng.randint(2, 15)
+        # class cost in {-1, 0} (one-hot-ish), mask/dice quantized to a
+        # coarse grid so exact ties are common
+        cls_cost = -(rng.rand(Q, T) < 0.2).astype(np.float32) * 2.0
+        mask_cost = np.round(rng.rand(Q, T) * 8) / 8 * 5.0
+        dice_cost = np.round(rng.rand(Q, T) * 4) / 4 * 5.0
+        cost = cls_cost + mask_cost + dice_cost
+        # duplicate queries: rows that are exactly identical
+        for _ in range(Q // 4):
+            a, b = rng.randint(0, Q, 2)
+            cost[a] = cost[b]
+        cost = cost.astype(np.float32)
+        col = np.asarray(linear_sum_assignment(jnp.asarray(cost)))
+        matched = {int(c): int(r) for r, c in enumerate(col) if c < T}
+        assert len(matched) == T, trial
+        ours = sum(cost[r, c] for c, r in matched.items())
+        rr, cc = scipy_lap(cost)
+        ref = cost[rr, cc].sum()
+        # tie-tolerant: total assignment cost within auction epsilon bound
+        assert ours <= ref + 1e-3 * T + 1e-5, (trial, ours, ref)

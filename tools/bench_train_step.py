@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Compile + time the FULL training step at the reference recipe
+(1024px LSJ crop, slide_training over a 2x2 grid of 512px crops, bf16),
+reference configs/common/data/coco_panoptic_semseg.py:47-52.
+
+Honest timing through the axon relay: fetch a scalar from the metrics dict
+each iteration (block_until_ready is not a reliable barrier here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--max-instances", type=int, default=20)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from odise_tpu.engine.optimizer import make_optimizer
+    from odise_tpu.engine.train_loop import (
+        TrainState, make_category_train_step, partition_params)
+    from odise_tpu.losses import CriterionConfig
+    from odise_tpu.model_zoo.factory import build_category_odise
+
+    K = 133
+    labels = tuple((f"category {i}",) for i in range(K))
+    model = build_category_odise(
+        "full", train_labels=labels, with_clip_head=False,
+        use_checkpoint=True, slide_training=True, dtype=jnp.bfloat16)
+
+    B, S, T = args.batch, args.size, args.max_instances
+    img = jnp.zeros((B, S, S, 3), jnp.float32)
+    text_raw = jnp.zeros((sum(len(g) for g in labels), 768), jnp.float32)
+
+    print("abstract init...", flush=True)
+    shapes = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), img, text_raw, labels,
+        method=type(model).forward_train))
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    params, frozen = partition_params(variables["params"])
+    n_train = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(params))
+    print(f"trainable params: {n_train/1e6:.1f}M", flush=True)
+
+    tx = make_optimizer(params, lr=1e-4, milestones=(10,), grad_clip=0.01)
+    state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    step = make_category_train_step(
+        model, tx, CriterionConfig(num_classes=K, num_points=12544),
+        text_embed_raw=text_raw, labels=labels, frozen_params=frozen)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.rand(B, S, S, 3), jnp.float32),
+        "gt_labels": jnp.asarray(rng.randint(0, K, (B, T)), jnp.int32),
+        "gt_masks": jnp.asarray(rng.rand(B, T, S, S) > 0.7, jnp.float32),
+        "gt_valid": jnp.ones((B, T), bool),
+    }
+
+    print("compiling train step...", flush=True)
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    first = float(metrics["total_loss"])
+    compile_s = time.perf_counter() - t0
+    print(f"compile+first step: {compile_s:.1f}s  total_loss={first:.3f}",
+          flush=True)
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
+        tl = float(metrics["total_loss"])
+        times.append(time.perf_counter() - t0)
+        print(f"iter {i}: {times[-1]:.2f}s  total_loss={tl:.3f}", flush=True)
+    dt = min(times)
+    print(f"train step @ {S}px slide B={B}: {dt:.2f} s/step"
+          f" = {B/dt:.3f} img/s/chip", flush=True)
+
+
+if __name__ == "__main__":
+    main()

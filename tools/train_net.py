@@ -310,9 +310,11 @@ def do_train(args, cfg):
     full_params = shard_params(variables["params"], mesh)
 
     if not is_caption:
-        encode = jax.jit(lambda toks: model.apply(
-            {"params": full_params}, toks, method=type(model).encode_vocab))
-        text_embed_raw = encode(jnp.asarray(tokenize(flat)))
+        # params as a jit argument — closing over them would bake ~GBs of
+        # frozen weights into the HLO as constants
+        encode = jax.jit(lambda p, toks: model.apply(
+            {"params": p}, toks, method=type(model).encode_vocab))
+        text_embed_raw = encode(full_params, jnp.asarray(tokenize(flat)))
 
     # differentiate/optimize only the trainable subtree (~28M params)
     params, frozen_params = partition_params(full_params)
