@@ -25,8 +25,10 @@ class SemSegEvaluator:
 
     def process(self, pred: np.ndarray, gt: np.ndarray):
         """pred/gt: [H, W] int class maps."""
-        pred = np.asarray(pred).reshape(-1)
-        gt = np.asarray(gt).reshape(-1)
+        # int64 up-front: uint16 gt (ctx459 tiffs) would overflow in the
+        # flat confusion index (458*459 > 65535)
+        pred = np.asarray(pred).reshape(-1).astype(np.int64)
+        gt = np.asarray(gt).reshape(-1).astype(np.int64)
         valid = gt != self.ignore_label
         pred = np.clip(pred[valid], 0, self.num_classes - 1)
         gt = gt[valid]

@@ -1,5 +1,7 @@
 """Data pipeline tests: transforms, rgb2id, mapper, loader, prompts."""
 
+import os
+
 import numpy as np
 
 from odise_tpu.data.build import get_openseg_labels, prompt_labels
@@ -130,3 +132,71 @@ def test_test_loader():
     records = [_synthetic_record(i) for i in range(3)]
     batches = list(build_test_loader(records, limit=2))
     assert len(batches) == 2 and len(batches[0]) == 1
+
+
+def test_ctx459_synthetic_end_to_end(tmp_path):
+    """ctx459 provisioning smoke: the prep script converts synthetic .mat
+    LabelMaps to 16-bit TIFFs (reference layout), registration finds them,
+    and the sem-seg evaluator consumes the ignore-65535 gt."""
+    import sys
+
+    import scipy.io as sio
+    from PIL import Image
+
+    sys.path.insert(0, "datasets")
+    from prepare_pascal_ctx_full_sem_seg import convert_label_map, main
+
+    rng = np.random.RandomState(0)
+    # official raw layout: images + trainval .mat annotations
+    img_dir = tmp_path / "pascal_ctx_d2" / "images" / "validation"
+    mat_dir = tmp_path / "VOCdevkit" / "VOC2010" / "trainval"
+    img_dir.mkdir(parents=True)
+    mat_dir.mkdir(parents=True)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, (16, 16, 3), np.uint8)).save(
+            img_dir / f"2008_{i:06d}.jpg")
+        label_map = rng.randint(0, 460, (16, 16)).astype(np.uint16)
+        label_map[0, :4] = 0  # unlabeled -> void
+        sio.savemat(mat_dir / f"2008_{i:06d}.mat", {"LabelMap": label_map})
+    (tmp_path / "pascal_ctx_d2" / "images" / "training").mkdir()
+
+    main(str(tmp_path))
+    out_dir = tmp_path / "pascal_ctx_d2" / "annotations_ctx459" / "validation"
+    tifs = sorted(out_dir.glob("*.tif"))
+    assert len(tifs) == 2
+    gt = np.asarray(Image.open(tifs[0]))
+    assert gt.dtype == np.uint16
+    assert (gt[0, :4] == 65535).all()        # unlabeled became void
+    assert gt[gt != 65535].max() <= 458      # ids shifted to 0..458
+
+    # conversion semantics pinned directly too
+    lm = np.array([[0, 1, 459]], np.uint16)
+    np.testing.assert_array_equal(convert_label_map(lm), [[65535, 0, 458]])
+
+    # registration resolves the reference layout and records pair up
+    from odise_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+    from odise_tpu.data.datasets.register_pascal import register_pascal
+
+    DatasetCatalog.remove("ctx459_sem_seg_val")
+    register_pascal(str(tmp_path))
+    records = DatasetCatalog.get("ctx459_sem_seg_val")
+    assert len(records) == 2
+    assert all(os.path.isfile(r["file_name"]) for r in records)
+    meta = MetadataCatalog.get("ctx459_sem_seg_val")
+    assert meta.get("ignore_label") == 65535
+    assert len(meta.get("stuff_classes")) == 459
+
+    # evaluator consumes the tiff gt with 65535 ignored
+    from odise_tpu.evaluation.sem_seg_eval import SemSegEvaluator
+
+    ev = SemSegEvaluator(num_classes=459, ignore_label=65535)
+    for r in records:
+        gt = np.asarray(Image.open(r["sem_seg_file_name"]))
+        pred = gt.copy().astype(np.int64)
+        pred[gt == 65535] = 0
+        ev.process(pred, gt)
+    res = ev.evaluate()
+    assert res["mIoU"] == 100.0  # perfect predictions on non-ignored pixels
+    # restore global registration for other tests
+    DatasetCatalog.remove("ctx459_sem_seg_val")
+    register_pascal()
