@@ -6,3 +6,5 @@ from .dataset_mapper import COCOPanopticDatasetMapper, collate
 from .datasets import register_coco  # noqa: F401
 from .datasets import register_ade20k  # noqa: F401
 from .datasets import register_pascal  # noqa: F401
+from .datasets import register_mapillary  # noqa: F401
+from .datasets import register_coco_stuff  # noqa: F401

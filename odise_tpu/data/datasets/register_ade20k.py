@@ -13,7 +13,7 @@ import os
 from typing import Dict, List
 
 from ..catalog import DatasetCatalog, MetadataCatalog
-from .register_coco import get_dataset_root
+from .register_coco import get_dataset_root, load_coco_instances_json
 
 _METADATA_DIR = os.path.join(os.path.dirname(__file__), "metadata")
 
@@ -39,6 +39,22 @@ def ade150_meta() -> Dict:
             meta["thing_dataset_id_to_contiguous_id"][c["id"]] = i
         meta["stuff_dataset_id_to_contiguous_id"][c["id"]] = i
     return meta
+
+
+def ade_instance_meta() -> Dict:
+    """100-thing-class instance metadata, derived from the A-150 categories.
+
+    The reference hardcodes the 100 ADE thing categories (reference
+    third_party/Mask2Former/mask2former/data/datasets/
+    register_ade20k_instance.py:12-42); they are exactly the ``isthing``
+    rows of the panoptic category table, so we derive them instead.
+    """
+    things = [c for c in ade150_categories() if c["isthing"]]
+    return {
+        "thing_classes": [c["name"] for c in things],
+        "thing_dataset_id_to_contiguous_id": {
+            c["id"]: i for i, c in enumerate(things)},
+    }
 
 
 def load_ade_panoptic_json(json_file: str, image_dir: str, gt_dir: str,
@@ -97,9 +113,15 @@ def register_ade20k(root: str | None = None) -> None:
         DatasetCatalog.register(
             name, lambda: load_ade_panoptic_json(
                 json_file, image_dir, gt_dir, semseg_dir, meta))
+    # the instance json backs open-vocab instance AP on the panoptic split
+    # (the reference attaches it as json_file via instances_json, reference
+    # register_ade20k_panoptic.py:272-300)
+    instances_json = os.path.join(root, "ADEChallengeData2016",
+                                  "ade20k_instance_val.json")
     MetadataCatalog.get(name).set(
         panoptic_root=gt_dir, image_root=image_dir, panoptic_json=json_file,
         sem_seg_root=semseg_dir, ignore_label=255, label_divisor=1000,
+        json_file=instances_json,
         evaluator_type="ade20k_panoptic_seg", **meta)
 
     # A-150 pure semantic val
@@ -111,6 +133,25 @@ def register_ade20k(root: str | None = None) -> None:
         stuff_classes=[c["name"] for c in ade150_categories()],
         image_root=image_dir, sem_seg_root=semseg_dir, ignore_label=255,
         evaluator_type="sem_seg")
+
+    # ADE20K 100-thing-class instance splits (reference
+    # register_ade20k_instance.py:45-60)
+    inst_meta = ade_instance_meta()
+    for split, img_sub in (("train", "training"), ("val", "validation")):
+        name = f"ade20k_instance_{split}"
+        inst_json = os.path.join(root, "ADEChallengeData2016",
+                                 f"ade20k_instance_{split}.json")
+        inst_img_dir = os.path.join(root, "ADEChallengeData2016",
+                                    "images", img_sub)
+        if name not in DatasetCatalog:
+            DatasetCatalog.register(
+                name, (lambda jf=inst_json, im=inst_img_dir:
+                       load_coco_instances_json(
+                           jf, im,
+                           inst_meta["thing_dataset_id_to_contiguous_id"])))
+        MetadataCatalog.get(name).set(
+            image_root=inst_img_dir, json_file=inst_json, ignore_label=255,
+            evaluator_type="coco_instance_seg", **inst_meta)
 
     # A-847 full vocabulary semantic val
     name = "ade20k_full_sem_seg_val"

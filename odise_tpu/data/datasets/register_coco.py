@@ -95,6 +95,61 @@ def load_coco_panoptic_json(json_file: str, image_dir: str, gt_dir: str,
     return ret
 
 
+def load_coco_instances_json(json_file: str, image_dir: str,
+                             id_map: Dict[int, int]) -> List[dict]:
+    """COCO-format instance json -> d2-style records with ``annotations``.
+
+    Capability parity with detectron2's ``load_coco_json`` as used by the
+    reference's instance registrations (reference third_party/Mask2Former/
+    mask2former/data/datasets/register_ade20k_instance.py:53-60).  Category
+    ids are remapped through ``id_map`` (dataset id -> contiguous id);
+    ``segmentation`` payloads stay in COCO encoding and are rasterized
+    lazily by :mod:`odise_tpu.data.coco_mask`.
+    """
+    with open(json_file) as f:
+        info = json.load(f)
+    images = {im["id"]: im for im in info["images"]}
+    anns_by_image: Dict[int, List[dict]] = {}
+    for ann in info.get("annotations", []):
+        if ann.get("category_id") not in id_map:
+            continue
+        a = {
+            "category_id": id_map[ann["category_id"]],
+            "segmentation": ann.get("segmentation"),
+            "bbox": ann.get("bbox"),
+            "iscrowd": int(ann.get("iscrowd", 0)),
+            "area": ann.get("area"),
+        }
+        anns_by_image.setdefault(int(ann["image_id"]), []).append(a)
+    ret = []
+    for image_id, im in sorted(images.items()):
+        ret.append({
+            "file_name": os.path.join(image_dir, im["file_name"]),
+            "image_id": int(image_id),
+            "height": int(im["height"]),
+            "width": int(im["width"]),
+            "annotations": anns_by_image.get(int(image_id), []),
+        })
+    return ret
+
+
+def load_instance_gt_index(json_file: str,
+                           id_map: Dict[int, int]) -> Dict[int, List[dict]]:
+    """image_id -> [annotation] index for evaluator-side GT lookup."""
+    with open(json_file) as f:
+        info = json.load(f)
+    out: Dict[int, List[dict]] = {}
+    for ann in info.get("annotations", []):
+        if ann.get("category_id") not in id_map:
+            continue
+        out.setdefault(int(ann["image_id"]), []).append({
+            "category_id": id_map[ann["category_id"]],
+            "segmentation": ann.get("segmentation"),
+            "iscrowd": int(ann.get("iscrowd", 0)),
+        })
+    return out
+
+
 def register_coco_panoptic(root: str | None = None) -> None:
     root = root or get_dataset_root()
     meta = coco_meta()
@@ -110,9 +165,15 @@ def register_coco_panoptic(root: str | None = None) -> None:
                 name,
                 (lambda jf=json_file, im=image_dir, gt=gt_dir, ss=semseg_dir:
                  load_coco_panoptic_json(jf, im, gt, ss, meta)))
+        # instances json backs the COCOEvaluator segm task (the reference's
+        # coco_2017_val_panoptic_with_sem_seg inherits json_file from the
+        # base coco_2017_val registration)
+        instances_json = os.path.join(root, "coco", "annotations",
+                                      f"instances_{split}2017.json")
         MetadataCatalog.get(name).set(
             panoptic_root=gt_dir, image_root=image_dir, panoptic_json=json_file,
             sem_seg_root=semseg_dir, ignore_label=255, label_divisor=1000,
+            json_file=instances_json,
             evaluator_type="coco_panoptic_seg", **meta)
 
     # caption-augmented train split (reference register_coco_caption.py:44-67)

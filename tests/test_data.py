@@ -200,3 +200,131 @@ def test_ctx459_synthetic_end_to_end(tmp_path):
     # restore global registration for other tests
     DatasetCatalog.remove("ctx459_sem_seg_val")
     register_pascal()
+
+
+# ---------------------------------------------------------------------------
+# COCO mask encoding (coco_mask.py) and instance-json registration
+
+
+def test_rle_compressed_known_values():
+    from odise_tpu.data.coco_mask import (decode_compressed_counts,
+                                          encode_compressed_counts)
+    # hand-derived from the COCO spec encoding (6-bit chunks, offset 48,
+    # bit 5 = continuation, delta vs counts[-2] from the 4th count on)
+    assert decode_compressed_counts("6") == [6]
+    assert encode_compressed_counts([6]) == "6"
+    assert decode_compressed_counts("X1") == [40]
+    assert encode_compressed_counts([40]) == "X1"
+    # negative delta: counts [10, 5, 12, 4] stores 4 as delta -1 = chr(79)
+    s = encode_compressed_counts([10, 5, 12, 4])
+    assert s.endswith("O")
+    assert decode_compressed_counts(s) == [10, 5, 12, 4]
+
+
+def test_rle_roundtrip_random():
+    from odise_tpu.data.coco_mask import mask_to_rle, rle_to_mask
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        m = rng.rand(23, 17) > 0.5
+        for compress in (True, False):
+            r = mask_to_rle(m, compress=compress)
+            np.testing.assert_array_equal(rle_to_mask(r), m)
+    # degenerate: empty and full masks
+    for m in (np.zeros((7, 5), bool), np.ones((7, 5), bool)):
+        np.testing.assert_array_equal(rle_to_mask(mask_to_rle(m)), m)
+
+
+def test_rle_column_major():
+    from odise_tpu.data.coco_mask import rle_to_mask
+    # 2x2: counts [1, 2, 1] column-major -> pixels (1,0) and (0,1) set
+    m = rle_to_mask({"size": [2, 2], "counts": [1, 2, 1]})
+    np.testing.assert_array_equal(m, np.array([[0, 1], [1, 0]], bool))
+
+
+def test_polygons_and_annotations_to_masks():
+    from odise_tpu.data.coco_mask import (annotations_to_masks,
+                                          segmentation_to_mask)
+    # axis-aligned square [2,2]..[6,6] inclusive of boundary pixels
+    poly = [[2.0, 2.0, 6.0, 2.0, 6.0, 6.0, 2.0, 6.0]]
+    m = segmentation_to_mask(poly, 10, 10)
+    assert m[4, 4] and m[2, 2] and not m[0, 0] and not m[8, 8]
+    anns = [{"segmentation": poly},
+            {"segmentation": {"size": [10, 10],
+                              "counts": [0, 1] + [99]}}]
+    ms = annotations_to_masks(anns, 10, 10)
+    assert ms.shape == (2, 10, 10)
+    assert ms[1, 0, 0] and not ms[1, 5, 5]
+    assert annotations_to_masks([], 4, 4).shape == (0, 4, 4)
+
+
+def test_ade_instance_meta_and_loader(tmp_path):
+    from odise_tpu.data.datasets.register_ade20k import ade_instance_meta
+    from odise_tpu.data.datasets.register_coco import (
+        load_coco_instances_json, load_instance_gt_index)
+
+    meta = ade_instance_meta()
+    assert len(meta["thing_classes"]) == 100
+    cmap = meta["thing_dataset_id_to_contiguous_id"]
+    assert sorted(cmap.values()) == list(range(100))
+
+    some_id = sorted(cmap)[0]
+    info = {
+        "images": [{"id": 1, "file_name": "a.jpg", "height": 8, "width": 8},
+                   {"id": 2, "file_name": "b.jpg", "height": 8, "width": 8}],
+        "annotations": [
+            {"image_id": 1, "category_id": some_id, "iscrowd": 0,
+             "segmentation": [[1.0, 1.0, 5.0, 1.0, 5.0, 5.0, 1.0, 5.0]],
+             "bbox": [1, 1, 4, 4], "area": 16},
+            # unmapped category ids are dropped
+            {"image_id": 1, "category_id": 99999, "iscrowd": 0,
+             "segmentation": [[0.0, 0.0, 2.0, 0.0, 2.0, 2.0]],
+             "bbox": [0, 0, 2, 2], "area": 2},
+        ],
+    }
+    import json as _json
+    jf = tmp_path / "inst.json"
+    jf.write_text(_json.dumps(info))
+    recs = load_coco_instances_json(str(jf), "/img", cmap)
+    assert len(recs) == 2
+    assert len(recs[0]["annotations"]) == 1
+    assert recs[0]["annotations"][0]["category_id"] == cmap[some_id]
+    assert recs[1]["annotations"] == []  # image without anns still listed
+    idx = load_instance_gt_index(str(jf), cmap)
+    assert list(idx) == [1] and len(idx[1]) == 1
+
+
+def test_ade_instance_registration_present():
+    from odise_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+    import odise_tpu.data.datasets.register_ade20k  # noqa: F401
+
+    assert "ade20k_instance_val" in DatasetCatalog
+    md = MetadataCatalog.get("ade20k_instance_val")
+    assert len(md.get("thing_classes")) == 100
+    # the panoptic split carries the instance json for instance AP
+    md_pan = MetadataCatalog.get("ade20k_panoptic_val")
+    assert md_pan.get("json_file", "").endswith("ade20k_instance_val.json")
+
+
+def test_mapillary_and_coco_stuff_registration():
+    from odise_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+    import odise_tpu.data.datasets.register_mapillary  # noqa: F401
+    import odise_tpu.data.datasets.register_coco_stuff  # noqa: F401
+
+    for name in ("mapillary_vistas_sem_seg_val", "mapillary_vistas_panoptic_val",
+                 "coco_2017_test_stuff_10k_sem_seg"):
+        assert name in DatasetCatalog, name
+
+    md = MetadataCatalog.get("mapillary_vistas_sem_seg_val")
+    assert len(md.get("stuff_classes")) == 65
+    assert md.get("ignore_label") == 65
+
+    mdp = MetadataCatalog.get("mapillary_vistas_panoptic_val")
+    tmap = mdp.get("thing_dataset_id_to_contiguous_id")
+    smap = mdp.get("stuff_dataset_id_to_contiguous_id")
+    assert len(smap) == 65 and len(tmap) < 65
+    assert mdp.get("label_divisor") == 1000
+
+    mds = MetadataCatalog.get("coco_2017_test_stuff_10k_sem_seg")
+    assert len(mds.get("stuff_classes")) == 171
+    assert sorted(mds.get("stuff_dataset_id_to_contiguous_id").values()) == \
+        list(range(171))

@@ -156,6 +156,21 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
         from odise_tpu.data.transforms import rgb2id
 
         inst_ev = InstanceSegEvaluator(num_classes=K)
+        # prefer dedicated instance-json GT when the dataset carries one
+        # (reference attaches instances json as metadata json_file and
+        # COCOEvaluator/InstanceSegEvaluator score against it); panoptic
+        # segments are the fallback GT source
+        inst_gt_index = None
+        inst_json = meta.get("json_file")
+        thing_id_map = meta.get("thing_dataset_id_to_contiguous_id")
+        if (instance_on and inst_json and thing_id_map
+                and os.path.isfile(inst_json)):
+            from odise_tpu.data.datasets.register_coco import (
+                load_instance_gt_index)
+            # remap dataset ids into the task's contiguous class space so
+            # GT and predictions share ids (the reference instead unmaps
+            # predictions to dataset ids; equivalent under a bijection)
+            inst_gt_index = load_instance_gt_index(inst_json, thing_id_map)
         resize = ResizeShortestEdge(eval_short, eval_max)
         inst_fuse = jax.jit(lambda mc, mp, tm, hw: instance_inference(
             mc, mp, tm, topk=int(model.test_topk_per_image), valid_hw=hw))
@@ -216,7 +231,8 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
                 pan_ev.process(gt_ids, gt_segments, pan_seg.astype(np.uint32),
                                pred_segments)
 
-            if instance_on and "segments_info" in rec:
+            if instance_on and ("segments_info" in rec or "annotations" in rec
+                                or inst_gt_index is not None):
                 inst = inst_fuse(mask_cls[0], mask_pred[0], thing_mask_arr,
                                  valid_hw)
                 masks = np.asarray(inst.masks)[:, :h, :w]
@@ -224,26 +240,42 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
                     cv2.resize(m.astype(np.uint8), (ow, oh),
                                interpolation=cv2.INTER_NEAREST).astype(bool)
                     for m in masks]) if len(masks) else masks
-                if "pan_seg" in rec:
-                    gt_ids = np.asarray(rec["pan_seg"], np.uint32)
-                elif ("pan_seg_file_name" in rec
-                        and os.path.isfile(rec["pan_seg_file_name"])):
-                    gt_ids = rgb2id(np.asarray(
-                        Image.open(rec["pan_seg_file_name"]).convert("RGB")))
+                gt_masks_arr = gt_classes = gt_crowd = None
+                if "annotations" in rec:
+                    anns = rec["annotations"]
+                elif inst_gt_index is not None and "image_id" in rec:
+                    # absent image_id means zero annotations: detections on
+                    # such images still count as false positives
+                    anns = inst_gt_index.get(int(rec["image_id"]), [])
                 else:
-                    gt_ids = None
-                if gt_ids is not None:
-                    gt_masks, gt_classes, gt_crowd = [], [], []
-                    for s in rec["segments_info"]:
-                        if not bool(vocab.thing_mask[s["category_id"]]):
-                            continue
-                        gt_masks.append(gt_ids == s["id"])
-                        gt_classes.append(s["category_id"])
-                        gt_crowd.append(bool(s.get("iscrowd", 0)))
+                    anns = None
+                if anns is not None:
+                    from odise_tpu.data.coco_mask import annotations_to_masks
+                    gt_masks_arr = annotations_to_masks(anns, oh, ow)
+                    gt_classes = [a["category_id"] for a in anns]
+                    gt_crowd = [bool(a.get("iscrowd", 0)) for a in anns]
+                elif "segments_info" in rec:
+                    if "pan_seg" in rec:
+                        gt_ids = np.asarray(rec["pan_seg"], np.uint32)
+                    elif ("pan_seg_file_name" in rec
+                            and os.path.isfile(rec["pan_seg_file_name"])):
+                        gt_ids = rgb2id(np.asarray(
+                            Image.open(rec["pan_seg_file_name"]).convert("RGB")))
+                    else:
+                        gt_ids = None
+                    if gt_ids is not None:
+                        gt_masks, gt_classes, gt_crowd = [], [], []
+                        for s in rec["segments_info"]:
+                            if not bool(vocab.thing_mask[s["category_id"]]):
+                                continue
+                            gt_masks.append(gt_ids == s["id"])
+                            gt_classes.append(s["category_id"])
+                            gt_crowd.append(bool(s.get("iscrowd", 0)))
+                        gt_masks_arr = (np.stack(gt_masks) if gt_masks
+                                        else np.zeros((0, oh, ow), bool))
+                if gt_masks_arr is not None:
                     # always process — detections on images with no thing GT
                     # must register as false positives (COCOeval semantics)
-                    gt_masks_arr = (np.stack(gt_masks) if gt_masks
-                                    else np.zeros((0, oh, ow), bool))
                     scores_arr = np.asarray(inst.scores)
                     keeps = scores_arr > 0  # drop stuff-flagged (score=0) rows
                     inst_ev.process(masks_r[keeps], np.asarray(inst.classes)[keeps],
