@@ -73,14 +73,47 @@ class InstanceSegEvaluator:
                 pred_scores: np.ndarray, gt_masks: np.ndarray,
                 gt_classes: np.ndarray, gt_iscrowd: Optional[np.ndarray] = None):
         """One image. pred_masks [N,H,W] bool, gt_masks [M,H,W] bool."""
+
+        def areas(m):
+            return (m.reshape(m.shape[0], -1).sum(1).astype(np.float64)
+                    if m.shape[0] else np.zeros((0,), np.float64))
+
+        dt_area = areas(np.asarray(pred_masks))
+        gt_area = areas(np.asarray(gt_masks))
+        D, M = len(dt_area), len(gt_area)
+        if D and M:
+            dt = pred_masks.reshape(D, -1).astype(np.float32)
+            gt = gt_masks.reshape(M, -1).astype(np.float32)
+            inter = (dt @ gt.T).astype(np.float64)
+        else:
+            inter = np.zeros((D, M), np.float64)
+        self.process_from_counts(pred_scores, pred_classes, dt_area, inter,
+                                 gt_classes, gt_area, gt_iscrowd)
+
+    def process_from_counts(self, pred_scores, pred_classes,
+                            dt_areas: np.ndarray, inter: np.ndarray,
+                            gt_classes, gt_areas: np.ndarray,
+                            gt_iscrowd: Optional[np.ndarray] = None):
+        """One image from sufficient statistics: intersection-pixel counts
+        [D, M] plus per-mask areas (device-eval path — masks never leave
+        the device)."""
         img_id = self._img_counter
         self._img_counter += 1
         pred_scores = np.asarray(pred_scores, np.float64)
         pred_classes = np.asarray(pred_classes)
         gt_classes = np.asarray(gt_classes)
+        dt_areas = np.asarray(dt_areas, np.float64)
+        gt_areas = np.asarray(gt_areas, np.float64)
+        inter = np.asarray(inter, np.float64)
         if gt_iscrowd is None:
             gt_iscrowd = np.zeros(len(gt_classes), bool)
         gt_iscrowd = np.asarray(gt_iscrowd, bool)
+
+        # crowd gt: IoU = intersection / det area (pycocotools semantics)
+        union = dt_areas[:, None] + gt_areas[None, :] - inter
+        denom = np.where(gt_iscrowd[None, :], dt_areas[:, None], union)
+        ious_all = np.zeros_like(inter)
+        np.divide(inter, denom, out=ious_all, where=denom > 0)
 
         cats = set(pred_classes.tolist()) | set(gt_classes.tolist())
         for c in cats:
@@ -89,20 +122,12 @@ class InstanceSegEvaluator:
             dsel = dsel[np.argsort(-pred_scores[dsel], kind="mergesort")]
             dsel = dsel[: self.max_dets]
             gsel = np.where(gt_classes == c)[0]
-            dt_m = pred_masks[dsel] if len(dsel) else np.zeros((0, 1, 1), bool)
-            gt_m = gt_masks[gsel] if len(gsel) else np.zeros((0, 1, 1), bool)
-            crowd = gt_iscrowd[gsel]
-
-            def areas(m):
-                return (m.reshape(m.shape[0], -1).sum(1).astype(np.float64)
-                        if m.shape[0] else np.zeros((0,), np.float64))
-
             self._by_img_cat[(img_id, int(c))] = {
                 "dt_scores": pred_scores[dsel],
-                "dt_areas": areas(dt_m),
-                "gt_areas": areas(gt_m),
-                "gt_crowd": crowd,
-                "ious": mask_iou_matrix(dt_m, gt_m, crowd),
+                "dt_areas": dt_areas[dsel],
+                "gt_areas": gt_areas[gsel],
+                "gt_crowd": gt_iscrowd[gsel],
+                "ious": ious_all[np.ix_(dsel, gsel)],
             }
 
     def _match_img_cat(self, e: dict, area_rng) -> dict:

@@ -69,7 +69,6 @@ def pq_compute_single(
     pred_segments: List[dict],    # {id, category_id}
 ) -> PQStat:
     """PQ stats for one image. Void id = 0 in both maps."""
-    stat = PQStat()
     gt_by_id = {s["id"]: s for s in gt_segments}
     pred_by_id = {s["id"]: s for s in pred_segments}
 
@@ -86,7 +85,41 @@ def pq_compute_single(
     inter: Dict[Tuple[int, int], int] = {
         (int(g), int(p)): int(c) for g, p, c in zip(g_ids, p_ids, cnts)
     }
+    return _pq_stats_core(inter, gt_area, pred_area, gt_by_id, pred_by_id,
+                          gt_segments, pred_segments)
 
+
+def pq_compute_from_counts(
+    counts: np.ndarray,           # [S+1, P+1] gt-row x pred-col intersections
+    gt_segments: List[dict],      # row i+1 described by gt_segments[i]
+    pred_segments: List[dict],    # col j+1 described by pred_segments[j]
+) -> PQStat:
+    """PQ stats from a precomputed intersection-count matrix (row/col 0 =
+    void), as produced on device by evaluation.device_eval — the fetch is
+    the [S+1, P+1] matrix instead of two dense id maps."""
+    s1, p1 = counts.shape
+    gt_segments = [dict(s, id=i + 1) for i, s in enumerate(gt_segments)]
+    pred_segments = [dict(s, id=j + 1) for j, s in enumerate(pred_segments)]
+    gt_by_id = {s["id"]: s for s in gt_segments}
+    pred_by_id = {s["id"]: s for s in pred_segments}
+    gt_area = {g: int(a) for g, a in enumerate(counts.sum(1)) if a > 0}
+    pred_area = {p: int(a) for p, a in enumerate(counts.sum(0)) if a > 0}
+    gg, pp = np.nonzero(counts)
+    inter = {(int(g), int(p)): int(counts[g, p]) for g, p in zip(gg, pp)}
+    return _pq_stats_core(inter, gt_area, pred_area, gt_by_id, pred_by_id,
+                          gt_segments, pred_segments)
+
+
+def _pq_stats_core(
+    inter: Dict[Tuple[int, int], int],
+    gt_area: Dict[int, int],
+    pred_area: Dict[int, int],
+    gt_by_id: Dict[int, dict],
+    pred_by_id: Dict[int, dict],
+    gt_segments: List[dict],
+    pred_segments: List[dict],
+) -> PQStat:
+    stat = PQStat()
     matched_gt, matched_pred = set(), set()
     for (gid, pid), c in inter.items():
         if gid == VOID or pid == VOID:
@@ -151,6 +184,10 @@ class PanopticEvaluator:
 
     def process(self, gt_seg, gt_segments, pred_seg, pred_segments):
         self.stat += pq_compute_single(gt_seg, gt_segments, pred_seg, pred_segments)
+
+    def process_counts(self, counts, gt_segments, pred_segments):
+        """Device-eval path: intersection-count matrix instead of id maps."""
+        self.stat += pq_compute_from_counts(counts, gt_segments, pred_segments)
 
     def evaluate(self) -> Dict[str, float]:
         res = self.stat.pq_average(self.categories)

@@ -37,6 +37,12 @@ class SemSegEvaluator:
             idx, minlength=self.num_classes ** 2
         ).reshape(self.num_classes, self.num_classes)
 
+    def add_confusion(self, conf: np.ndarray):
+        """Device-eval path: merge an externally accumulated [K, K]
+        confusion matrix (rows = gt, cols = pred)."""
+        assert conf.shape == self.conf.shape, (conf.shape, self.conf.shape)
+        self.conf += conf.astype(np.int64)
+
     def evaluate(self) -> Dict[str, float]:
         conf = self.conf.astype(np.float64)
         tp = np.diag(conf)

@@ -171,6 +171,23 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
             # GT and predictions share ids (the reference instead unmaps
             # predictions to dataset ids; equivalent under a bijection)
             inst_gt_index = load_instance_gt_index(inst_json, thing_id_map)
+
+        # device-side statistics: fetch confusion/contingency/IoU counts
+        # instead of dense prediction tensors (evaluation/device_eval.py);
+        # disable with dataloader.eval_device_stats=False to use the
+        # host-side postprocessing path
+        runner = None
+        if cfg.dataloader.get("eval_device_stats", True):
+            from odise_tpu.evaluation.device_eval import DeviceEvalRunner
+            runner = DeviceEvalRunner(
+                num_classes=K,
+                thing_mask=np.asarray(vocab.thing_mask),
+                object_mask_threshold=float(model.object_mask_threshold),
+                overlap_threshold=float(model.overlap_threshold),
+                topk=int(model.test_topk_per_image),
+                ignore_label=int(meta.get("ignore_label", 255)),
+                semantic_on=semantic_on, panoptic_on=panoptic_on,
+                instance_on=instance_on)
         resize = ResizeShortestEdge(eval_short, eval_max)
         inst_fuse = jax.jit(lambda mc, mp, tm, hw: instance_inference(
             mc, mp, tm, topk=int(model.test_topk_per_image), valid_hw=hw))
@@ -192,20 +209,113 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
             mask_cls, mask_pred = infer(jnp.asarray(padded))
             valid_hw = (jnp.int32(h), jnp.int32(w))
 
+            # ---- gather ground truth once (shared by both stat paths) ----
+            sem_gt = None
             if semantic_on and "sem_seg_file_name" in rec and os.path.isfile(
                     rec["sem_seg_file_name"]):
+                sem_gt = np.asarray(Image.open(rec["sem_seg_file_name"]))
+
+            gt_ids = None
+            gt_segments = None
+            if (panoptic_on or instance_on) and "segments_info" in rec:
+                if "pan_seg" in rec:
+                    gt_ids = np.asarray(rec["pan_seg"], np.uint32)
+                elif ("pan_seg_file_name" in rec
+                        and os.path.isfile(rec["pan_seg_file_name"])):
+                    gt_ids = rgb2id(np.asarray(
+                        Image.open(rec["pan_seg_file_name"]).convert("RGB")))
+                if gt_ids is not None:
+                    gt_segments = [dict(s) for s in rec.get("segments_info", [])]
+
+            inst_gt_masks = inst_gt_classes = inst_gt_crowd = None
+            if instance_on:
+                if "annotations" in rec:
+                    anns = rec["annotations"]
+                elif inst_gt_index is not None and "image_id" in rec:
+                    # absent image_id means zero annotations: detections on
+                    # such images still count as false positives
+                    anns = inst_gt_index.get(int(rec["image_id"]), [])
+                else:
+                    anns = None
+                if anns is not None:
+                    from odise_tpu.data.coco_mask import annotations_to_masks
+                    inst_gt_masks = annotations_to_masks(anns, oh, ow)
+                    inst_gt_classes = [a["category_id"] for a in anns]
+                    inst_gt_crowd = [bool(a.get("iscrowd", 0)) for a in anns]
+                elif gt_ids is not None and gt_segments is not None:
+                    gm, inst_gt_classes, inst_gt_crowd = [], [], []
+                    for s in gt_segments:
+                        if not bool(vocab.thing_mask[s["category_id"]]):
+                            continue
+                        gm.append(gt_ids == s["id"])
+                        inst_gt_classes.append(s["category_id"])
+                        inst_gt_crowd.append(bool(s.get("iscrowd", 0)))
+                    inst_gt_masks = (np.stack(gm) if gm
+                                     else np.zeros((0, oh, ow), bool))
+
+            # ---- device statistics path: only counts leave the chip ----
+            stats = None
+            if runner is not None:
+                dev_sem = (sem_gt if sem_gt is not None
+                           and sem_gt.shape == (oh, ow) else None)
+                dev_pan = (gt_ids if gt_ids is not None
+                           and gt_ids.shape == (oh, ow) else None)
+                dev_inst = (inst_gt_masks
+                            if inst_gt_masks is not None
+                            and len(inst_gt_masks) <= 128 else None)
+                if dev_sem is not None or dev_pan is not None \
+                        or dev_inst is not None:
+                    stats = runner.process(
+                        mask_cls[0], mask_pred[0], (h, w), (oh, ow),
+                        sem_gt=dev_sem,
+                        pan_gt_ids=dev_pan,
+                        pan_seg_ids=(np.asarray(
+                            [s["id"] for s in gt_segments], np.uint32)
+                            if dev_pan is not None else None),
+                        inst_gt_masks=dev_inst)
+            if stats is not None:
+                if "pan_counts" in stats:
+                    segs_by_id = {int(s["id"]): s for s in gt_segments}
+                    gt_sorted = [segs_by_id[int(i)]
+                                 for i in stats["pan_gt_ids_sorted"]]
+                    nseg = stats["pan_num_segments"]
+                    cats = stats["pan_segment_category"]
+                    things = stats["pan_segment_isthing"]
+                    pred_segments = [
+                        {"category_id": int(cats[i]),
+                         "isthing": bool(things[i])} for i in range(nseg)]
+                    pan_ev.process_counts(
+                        stats["pan_counts"][:, : nseg + 1], gt_sorted,
+                        pred_segments)
+                if "inst_inter" in stats:
+                    scores_arr = stats["inst_scores"]
+                    keeps = scores_arr > 0  # drop stuff-flagged rows
+                    inst_ev.process_from_counts(
+                        scores_arr[keeps], stats["inst_classes"][keeps],
+                        stats["inst_dt_area"][keeps],
+                        stats["inst_inter"][keeps],
+                        np.asarray(inst_gt_classes, np.int64),
+                        stats["inst_gt_area"],
+                        np.asarray(inst_gt_crowd, bool))
+                # semantic confusion accumulates on device; flushed per task
+                sem_done = dev_sem is not None
+                pan_done = dev_pan is not None
+                inst_done = dev_inst is not None
+            else:
+                sem_done = pan_done = inst_done = False
+
+            # ---- host postprocessing path (fallback / large images) ----
+            if sem_gt is not None and not sem_done:
                 sem = np.asarray(semantic_inference(mask_cls[0], mask_pred[0]),
                                  np.float32)[:, :h, :w]
-                gt = np.asarray(Image.open(rec["sem_seg_file_name"]))
                 # resize probabilities before argmax (reference
                 # sem_seg_postprocess semantics)
-                sem_r = cv2.resize(sem.transpose(1, 2, 0), (gt.shape[1], gt.shape[0]),
+                sem_r = cv2.resize(sem.transpose(1, 2, 0),
+                                   (sem_gt.shape[1], sem_gt.shape[0]),
                                    interpolation=cv2.INTER_LINEAR)
-                sem_ev.process(np.argmax(sem_r, -1).astype(np.int32), gt)
+                sem_ev.process(np.argmax(sem_r, -1).astype(np.int32), sem_gt)
 
-            if panoptic_on and ("pan_seg" in rec or (
-                    "pan_seg_file_name" in rec
-                    and os.path.isfile(rec["pan_seg_file_name"]))):
+            if panoptic_on and gt_ids is not None and not pan_done:
                 # pad pixels must not count toward mask areas / overlap
                 # ratios (reference sem_seg_postprocess_before_inference
                 # semantics): fusion masks them via valid_hw, so one graph
@@ -221,18 +331,10 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
                 pred_segments = [
                     {"id": i + 1, "category_id": int(cats[i]),
                      "isthing": bool(things[i])} for i in range(nseg)]
-                if "pan_seg" in rec:
-                    gt_ids = np.asarray(rec["pan_seg"], np.uint32)
-                else:
-                    gt_rgb = np.asarray(
-                        Image.open(rec["pan_seg_file_name"]).convert("RGB"))
-                    gt_ids = rgb2id(gt_rgb)
-                gt_segments = [dict(s) for s in rec.get("segments_info", [])]
                 pan_ev.process(gt_ids, gt_segments, pan_seg.astype(np.uint32),
                                pred_segments)
 
-            if instance_on and ("segments_info" in rec or "annotations" in rec
-                                or inst_gt_index is not None):
+            if inst_gt_masks is not None and not inst_done:
                 inst = inst_fuse(mask_cls[0], mask_pred[0], thing_mask_arr,
                                  valid_hw)
                 masks = np.asarray(inst.masks)[:, :h, :w]
@@ -240,50 +342,19 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
                     cv2.resize(m.astype(np.uint8), (ow, oh),
                                interpolation=cv2.INTER_NEAREST).astype(bool)
                     for m in masks]) if len(masks) else masks
-                gt_masks_arr = gt_classes = gt_crowd = None
-                if "annotations" in rec:
-                    anns = rec["annotations"]
-                elif inst_gt_index is not None and "image_id" in rec:
-                    # absent image_id means zero annotations: detections on
-                    # such images still count as false positives
-                    anns = inst_gt_index.get(int(rec["image_id"]), [])
-                else:
-                    anns = None
-                if anns is not None:
-                    from odise_tpu.data.coco_mask import annotations_to_masks
-                    gt_masks_arr = annotations_to_masks(anns, oh, ow)
-                    gt_classes = [a["category_id"] for a in anns]
-                    gt_crowd = [bool(a.get("iscrowd", 0)) for a in anns]
-                elif "segments_info" in rec:
-                    if "pan_seg" in rec:
-                        gt_ids = np.asarray(rec["pan_seg"], np.uint32)
-                    elif ("pan_seg_file_name" in rec
-                            and os.path.isfile(rec["pan_seg_file_name"])):
-                        gt_ids = rgb2id(np.asarray(
-                            Image.open(rec["pan_seg_file_name"]).convert("RGB")))
-                    else:
-                        gt_ids = None
-                    if gt_ids is not None:
-                        gt_masks, gt_classes, gt_crowd = [], [], []
-                        for s in rec["segments_info"]:
-                            if not bool(vocab.thing_mask[s["category_id"]]):
-                                continue
-                            gt_masks.append(gt_ids == s["id"])
-                            gt_classes.append(s["category_id"])
-                            gt_crowd.append(bool(s.get("iscrowd", 0)))
-                        gt_masks_arr = (np.stack(gt_masks) if gt_masks
-                                        else np.zeros((0, oh, ow), bool))
-                if gt_masks_arr is not None:
-                    # always process — detections on images with no thing GT
-                    # must register as false positives (COCOeval semantics)
-                    scores_arr = np.asarray(inst.scores)
-                    keeps = scores_arr > 0  # drop stuff-flagged (score=0) rows
-                    inst_ev.process(masks_r[keeps], np.asarray(inst.classes)[keeps],
-                                    scores_arr[keeps],
-                                    gt_masks_arr, np.asarray(gt_classes, np.int64),
-                                    np.asarray(gt_crowd, bool))
+                # always process — detections on images with no thing GT
+                # must register as false positives (COCOeval semantics)
+                scores_arr = np.asarray(inst.scores)
+                keeps = scores_arr > 0  # drop stuff-flagged (score=0) rows
+                inst_ev.process(masks_r[keeps], np.asarray(inst.classes)[keeps],
+                                scores_arr[keeps],
+                                inst_gt_masks,
+                                np.asarray(inst_gt_classes, np.int64),
+                                np.asarray(inst_gt_crowd, bool))
             n += 1
         dt = time.perf_counter() - t_start
+        if runner is not None:
+            sem_ev.add_confusion(runner.flush_confusion())
         r = {}
         if semantic_on:
             r.update(sem_ev.evaluate())
