@@ -28,7 +28,7 @@ recompiles.
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -141,19 +141,6 @@ def _sem_labels(mask_cls, masks_resized, k_chunk: int = 128):
     return jnp.minimum(arg, k - 1).reshape(oh, ow)
 
 
-class _ImageStats(NamedTuple):
-    conf: object            # [K, K] i32 running confusion (device)
-    pan_counts: object      # [S_max+1, Q+1] i32 or None
-    pan_segment_category: object
-    pan_segment_isthing: object
-    pan_num_segments: object
-    inst_scores: object     # [topk] or None
-    inst_classes: object
-    inst_inter: object      # [topk, M] f32 intersection counts
-    inst_dt_area: object    # [topk] f32
-    inst_gt_area: object    # [M] f32
-
-
 class DeviceEvalRunner:
     """Per-task device evaluator: jit cache over (src, grid, gt buckets).
 
@@ -189,6 +176,31 @@ class DeviceEvalRunner:
 
     # -- jitted kernel ----------------------------------------------------
 
+    def _blob_layout(self, grid, has_sem, has_pan, has_inst, m_pad):
+        """Byte offsets of each gt array inside the single upload blob.
+
+        One packed uint8 upload per image instead of one transfer per
+        array: each host->device (and device->host) call pays the relay
+        round-trip, which at ~25-30 ms dominates the actual bytes.
+        """
+        gh, gw = grid
+        off = {}
+        pos = 0
+        if has_sem:
+            off["sem"] = (pos, gh * gw * 2)  # uint16: labels <= 65535
+            pos += gh * gw * 2
+        if has_pan:
+            off["pan"] = (pos, gh * gw * 4)
+            pos += gh * gw * 4
+            off["lut"] = (pos, self.s_max * 4)
+            pos += self.s_max * 4
+        if has_inst:
+            nb = (gh * gw + 7) // 8
+            off["bits"] = (pos, m_pad * nb)
+            pos += m_pad * nb
+        off["total"] = pos
+        return off
+
     def _kernel(self, grid, has_sem: bool, has_pan: bool, has_inst: bool,
                 m_pad: int):
         key = (grid, has_sem, has_pan, has_inst, m_pad)
@@ -207,20 +219,29 @@ class DeviceEvalRunner:
         obj_thr = self.object_mask_threshold
         ovl_thr = self.overlap_threshold
         topk = self.topk
+        gh, gw = grid
+        layout = self._blob_layout(grid, has_sem, has_pan, has_inst, m_pad)
 
-        @functools.partial(jax.jit, static_argnames=(),
-                           donate_argnums=(1,))
+        def _slice_as(blob, name, dtype, shape):
+            start, nbytes = layout[name]
+            raw = jax.lax.dynamic_slice(blob, (start,), (nbytes,))
+            itemsize = jnp.dtype(dtype).itemsize
+            out = jax.lax.bitcast_convert_type(
+                raw.reshape(-1, itemsize), dtype)
+            return out.reshape(shape)
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
         def run(args, conf):
-            (mask_cls, mask_pred, h, w, oh, ow,
-             sem_gt, pan_gt, pan_lut, inst_bits) = args
+            mask_cls, mask_pred, h, w, oh, ow, blob = args
             masks_r = resize_chw(mask_pred, (h, w), (oh, ow), grid)
             valid = _grid_valid(grid, (oh, ow))
-            n = grid[0] * grid[1]
+            n = gh * gw
 
-            pan_counts = pan_cat = pan_thing = pan_n = None
-            inst_scores = inst_classes = inter = dt_area = gt_area = None
+            out_parts = []  # packed int32 fetch (one transfer per image)
 
             if has_sem:
+                sem_gt = _slice_as(blob, "sem", jnp.uint16,
+                                   (gh, gw)).astype(jnp.int32)
                 labels = _sem_labels(mask_cls, masks_r)
                 gval = valid & (sem_gt != ignore) & (sem_gt < K)
                 idx = (sem_gt.astype(jnp.int32) * K
@@ -230,6 +251,8 @@ class DeviceEvalRunner:
                 conf = conf + inc[:-1].reshape(K, K).astype(jnp.int32)
 
             if has_pan:
+                pan_gt = _slice_as(blob, "pan", jnp.uint32, (gh, gw))
+                pan_lut = _slice_as(blob, "lut", jnp.uint32, (s_max,))
                 pan = panoptic_inference(
                     mask_cls, masks_r, thing_mask,
                     object_mask_threshold=obj_thr,
@@ -250,12 +273,14 @@ class DeviceEvalRunner:
                 # subtract grid padding from the (void, void) cell so areas
                 # reflect the true image only
                 counts = counts.at[0].add(-(n - oh * ow))
-                pan_counts = counts.reshape(s_max + 1, q1).astype(jnp.int32)
-                pan_cat, pan_thing, pan_n = (
-                    pan.segment_category, pan.segment_isthing,
-                    pan.num_segments)
+                out_parts += [counts.astype(jnp.int32),
+                              pan.segment_category,
+                              pan.segment_isthing.astype(jnp.int32),
+                              pan.num_segments.reshape(1)]
 
             if has_inst:
+                inst_bits = _slice_as(
+                    blob, "bits", jnp.uint8, (m_pad, (n + 7) // 8))
                 inst = instance_inference(
                     mask_cls, masks_r, thing_mask, topk=topk,
                     valid_hw=(oh, ow))
@@ -270,11 +295,16 @@ class DeviceEvalRunner:
                                    preferred_element_type=jnp.float32)
                 dt_area = jnp.sum(det.astype(jnp.float32), axis=1)
                 gt_area = jnp.sum(gt.astype(jnp.float32), axis=1)
-                inst_scores, inst_classes = inst.scores, inst.classes
+                bits32 = lambda x: jax.lax.bitcast_convert_type(  # noqa: E731
+                    x.astype(jnp.float32), jnp.int32)
+                out_parts += [bits32(inst.scores),
+                              inst.classes,
+                              bits32(inter).reshape(-1),
+                              bits32(dt_area), bits32(gt_area)]
 
-            return _ImageStats(conf, pan_counts, pan_cat, pan_thing, pan_n,
-                               inst_scores, inst_classes, inter, dt_area,
-                               gt_area)
+            blob_out = (jnp.concatenate([p.reshape(-1) for p in out_parts])
+                        if out_parts else jnp.zeros((1,), jnp.int32))
+            return conf, blob_out
 
         self._jit_cache[key] = run
         return run
@@ -317,10 +347,10 @@ class DeviceEvalRunner:
 
         # --- host-side gt packing (uploads are cheap; fetches are not) ---
         if has_sem:
-            sg = np.full((gh, gw), self.ignore_label, np.int32)
-            sg[:oh, :ow] = np.asarray(sem_gt, np.int32)
+            sg = np.full((gh, gw), self.ignore_label, np.uint16)
+            sg[:oh, :ow] = np.asarray(sem_gt).astype(np.uint16)
         else:
-            sg = np.zeros((1, 1), np.int32)
+            sg = np.zeros((1, 1), np.uint16)
 
         if has_pan:
             pg = np.zeros((gh, gw), np.uint32)
@@ -353,35 +383,58 @@ class DeviceEvalRunner:
             m_pad = 1
             packed = np.zeros((1, (gh * gw + 7) // 8), np.uint8)
 
+        # one packed upload per image (per-transfer relay RTT dominates)
+        layout = self._blob_layout(grid, has_sem, has_pan, has_inst, m_pad)
+        blob = np.zeros((max(layout["total"], 1),), np.uint8)
+        if has_sem:
+            s0, nb = layout["sem"]
+            blob[s0:s0 + nb] = sg.reshape(-1).view(np.uint8)
+        if has_pan:
+            s0, nb = layout["pan"]
+            blob[s0:s0 + nb] = pg.reshape(-1).view(np.uint8)
+            s0, nb = layout["lut"]
+            blob[s0:s0 + nb] = lut_pad.view(np.uint8)
+        if has_inst:
+            s0, nb = layout["bits"]
+            blob[s0:s0 + nb] = packed.reshape(-1)
+
         run = self._kernel(grid, has_sem, has_pan, has_inst, m_pad)
         args = (mask_cls, mask_pred,
                 jnp.int32(src_hw[0]), jnp.int32(src_hw[1]),
-                jnp.int32(oh), jnp.int32(ow),
-                jnp.asarray(sg), jnp.asarray(pg), jnp.asarray(lut_pad),
-                jnp.asarray(packed))
-        out = run(args, self._conf)
-        self._conf = out.conf
+                jnp.int32(oh), jnp.int32(ow), jnp.asarray(blob))
+        self._conf, blob_out = run(args, self._conf)
         self._conf_n += 1
         if self._conf_n >= _CONF_FLUSH_EVERY:
             self.flush_confusion()
 
+        words = np.asarray(blob_out)  # ONE fetch per image
+        q = int(mask_cls.shape[0])
+        t = min(self.topk, q * K)
+        pos = 0
+
+        def take(count):
+            nonlocal pos
+            out = words[pos: pos + count]
+            pos += count
+            return out
+
         res: dict = {}
         if has_pan:
-            q1 = int(out.pan_counts.shape[1])
-            counts = np.asarray(out.pan_counts)
+            q1 = q + 1
+            counts = take((self.s_max + 1) * q1).reshape(self.s_max + 1, q1)
             res["pan_counts"] = counts[: len(lut) + 1]
-            res["pan_segment_category"] = np.asarray(out.pan_segment_category)
-            res["pan_segment_isthing"] = np.asarray(out.pan_segment_isthing)
-            res["pan_num_segments"] = int(out.pan_num_segments)
+            res["pan_segment_category"] = take(q)
+            res["pan_segment_isthing"] = take(q).astype(bool)
+            res["pan_num_segments"] = int(take(1)[0])
             res["pan_gt_ids_sorted"] = lut
-            del q1
         if has_inst:
-            res["inst_scores"] = np.asarray(out.inst_scores)
-            res["inst_classes"] = np.asarray(out.inst_classes)
-            res["inst_inter"] = np.asarray(out.inst_inter)[:, :m]
-            res["inst_dt_area"] = np.asarray(out.inst_dt_area, np.float64)
-            res["inst_gt_area"] = np.asarray(out.inst_gt_area,
-                                             np.float64)[:m]
+            res["inst_scores"] = take(t).view(np.float32)
+            res["inst_classes"] = take(t)
+            res["inst_inter"] = (take(t * m_pad).view(np.float32)
+                                 .reshape(t, m_pad)[:, :m].astype(np.float64))
+            res["inst_dt_area"] = take(t).view(np.float32).astype(np.float64)
+            res["inst_gt_area"] = (take(m_pad).view(np.float32)
+                                   .astype(np.float64)[:m])
         return res
 
     def flush_confusion(self) -> np.ndarray:
