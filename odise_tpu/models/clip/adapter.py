@@ -124,6 +124,16 @@ def build_mask_attn_mask(mask_logits: jnp.ndarray, patch_size: int,
       (sigmoid, max-pooled) mask exceeds 0.5.
     """
     B, Q = mask_logits.shape[:2]
+    token_masked = _token_masked(mask_logits, patch_size, num_image_tokens)
+    N = token_masked.shape[-1]
+    L = Q + 1 + N
+    attn_mask = jnp.zeros((B, L, L), jnp.bool_)
+    attn_mask = attn_mask.at[:, :, :Q].set(True)      # no one attends to mask tokens
+    attn_mask = attn_mask.at[:, :Q, -N:].set(token_masked)
+    return attn_mask
+
+
+def _token_masked(mask_logits, patch_size, num_image_tokens):
     prob = jax.nn.sigmoid(mask_logits)
     patch_mask = jax.lax.reduce_window(
         prob, -jnp.inf, jax.lax.max,
@@ -131,14 +141,26 @@ def build_mask_attn_mask(mask_logits: jnp.ndarray, patch_size: int,
         window_strides=(1, 1, patch_size, patch_size),
         padding="VALID",
     )
+    B, Q = mask_logits.shape[:2]
     token_masked = (patch_mask < 0.5).reshape(B, Q, -1)  # [B, Q, N]
-    N = token_masked.shape[-1]
-    assert N == num_image_tokens, (N, num_image_tokens)
-    L = Q + 1 + N
-    attn_mask = jnp.zeros((B, L, L), jnp.bool_)
-    attn_mask = attn_mask.at[:, :, :Q].set(True)      # no one attends to mask tokens
-    attn_mask = attn_mask.at[:, :Q, -N:].set(token_masked)
-    return attn_mask
+    assert token_masked.shape[-1] == num_image_tokens, (
+        token_masked.shape, num_image_tokens)
+    return token_masked
+
+
+def build_mask_reader_mask(mask_logits: jnp.ndarray, patch_size: int,
+                           num_image_tokens: int) -> jnp.ndarray:
+    """Split-stream MaskCLIP mask: bool [B, Q, 1+N]; True = masked out.
+
+    Column 0 is the class token (always attended); columns 1..N mask the
+    patches outside each predicted mask.  Same semantics as
+    :func:`build_mask_attn_mask` rows 0..Q-1, for the reader-stream
+    attention that skips the fused (Q+L)^2 softmax.
+    """
+    B, Q = mask_logits.shape[:2]
+    token_masked = _token_masked(mask_logits, patch_size, num_image_tokens)
+    cls_col = jnp.zeros((B, Q, 1), jnp.bool_)
+    return jnp.concatenate([cls_col, token_masked], axis=-1)
 
 
 class MaskCLIP:
@@ -162,9 +184,9 @@ class MaskCLIP:
         img = clip_preprocess(img, S)
         m = jax.image.resize(mask, (B, Q, S, S), method="bilinear")
         n_tokens = (S // self.patch_size) ** 2
-        attn_mask = build_mask_attn_mask(m, self.patch_size, n_tokens)
+        reader_mask = build_mask_reader_mask(m, self.patch_size, n_tokens)
         return self.visual.apply(variables, img, mask_tokens=Q,
-                                 attn_mask=attn_mask)
+                                 reader_mask=reader_mask)
 
     @staticmethod
     def pred_logits(mask_embed, text_embed, labels, logit_scale=100.0):

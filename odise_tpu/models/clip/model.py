@@ -32,6 +32,14 @@ class MultiheadAttention(nn.Module):
     """Attention with fused in-projection (torch nn.MultiheadAttention layout).
 
     ``attn_mask``: optional bool [B, L, L] or [L, L]; True = masked out.
+
+    ``reader``/``reader_mask``: split-stream MaskCLIP mode — ``reader``
+    [B, Q, C] tokens attend INTO ``x`` (keys/values from ``x``, masked per
+    ``reader_mask`` [B, Q, L]) but are attended by nobody, while ``x``
+    self-attends normally.  Mathematically identical to fused attention
+    over [reader; x] with the MaskCLIP attention mask, but skips the
+    (Q+L)^2 masked softmax (reference computes the fused form,
+    clip.py:252-323).  Returns ``(out_x, out_reader)``.
     """
 
     width: int
@@ -39,11 +47,15 @@ class MultiheadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, attn_mask: Optional[jnp.ndarray] = None,
+                 reader: Optional[jnp.ndarray] = None,
+                 reader_mask: Optional[jnp.ndarray] = None):
         B, L, C = x.shape
-        qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="in_proj")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        in_proj = nn.Dense(3 * self.width, dtype=self.dtype, name="in_proj")
+        out_proj = nn.Dense(self.width, dtype=self.dtype, name="out_proj")
         hd = self.width // self.heads
+        qkv = in_proj(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, L, self.heads, hd)
         k = k.reshape(B, L, self.heads, hd)
         v = v.reshape(B, L, self.heads, hd)
@@ -57,7 +69,18 @@ class MultiheadAttention(nn.Module):
             attn = jnp.where(attn_mask, -jnp.inf, attn)
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, self.width)
-        return nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
+        out = out_proj(out)
+        if reader is None:
+            return out
+        Q = reader.shape[1]
+        q_r = in_proj(reader)[..., : self.width].reshape(B, Q, self.heads, hd)
+        attn_r = jnp.einsum("bqhd,bkhd->bhqk", q_r, k,
+                            preferred_element_type=jnp.float32) * (hd ** -0.5)
+        if reader_mask is not None:
+            attn_r = jnp.where(reader_mask[:, None], -jnp.inf, attn_r)
+        attn_r = jax.nn.softmax(attn_r, axis=-1).astype(v.dtype)
+        out_r = jnp.einsum("bhqk,bkhd->bqhd", attn_r, v).reshape(B, Q, self.width)
+        return out, out_proj(out_r)
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -66,15 +89,30 @@ class ResidualAttentionBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_mask=None):
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x).astype(x.dtype)
-        x = x + MultiheadAttention(self.width, self.heads, dtype=self.dtype,
-                                   name="attn")(h, attn_mask)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x).astype(x.dtype)
-        h = nn.Dense(self.width * 4, dtype=self.dtype, name="c_fc")(h)
-        h = quick_gelu(h)
-        h = nn.Dense(self.width, dtype=self.dtype, name="c_proj")(h)
-        return x + h
+    def __call__(self, x, attn_mask=None, reader=None, reader_mask=None):
+        ln_1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")
+        attn = MultiheadAttention(self.width, self.heads, dtype=self.dtype,
+                                  name="attn")
+        ln_2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")
+        c_fc = nn.Dense(self.width * 4, dtype=self.dtype, name="c_fc")
+        c_proj = nn.Dense(self.width, dtype=self.dtype, name="c_proj")
+
+        def mlp(t):
+            return c_proj(quick_gelu(c_fc(t)))
+
+        if reader is None:
+            h = ln_1(x).astype(x.dtype)
+            x = x + attn(h, attn_mask)
+            h = ln_2(x).astype(x.dtype)
+            return x + mlp(h)
+        h = ln_1(x).astype(x.dtype)
+        h_r = ln_1(reader).astype(reader.dtype)
+        dx, dr = attn(h, None, reader=h_r, reader_mask=reader_mask)
+        x = x + dx
+        reader = reader + dr
+        x = x + mlp(ln_2(x).astype(x.dtype))
+        reader = reader + mlp(ln_2(reader).astype(reader.dtype))
+        return x, reader
 
 
 class Transformer(nn.Module):
@@ -84,11 +122,19 @@ class Transformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_mask=None):
+    def __call__(self, x, attn_mask=None, reader=None, reader_mask=None):
         for i in range(self.layers):
-            x = ResidualAttentionBlock(self.width, self.heads, dtype=self.dtype,
-                                       name=f"resblock_{i}")(x, attn_mask)
-        return x
+            block = ResidualAttentionBlock(self.width, self.heads,
+                                           dtype=self.dtype,
+                                           name=f"resblock_{i}")
+            if reader is None:
+                x = block(x, attn_mask)
+            else:
+                x, reader = block(x, attn_mask, reader=reader,
+                                  reader_mask=reader_mask)
+        if reader is None:
+            return x
+        return x, reader
 
 
 class TextTransformer(nn.Module):
@@ -155,21 +201,32 @@ class VisionTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, *, mask_tokens: Optional[int] = None,
-                 attn_mask: Optional[jnp.ndarray] = None):
+                 attn_mask: Optional[jnp.ndarray] = None,
+                 reader_mask: Optional[jnp.ndarray] = None):
         """Standard forward: returns (image_embed [B,D], image_encodings
-        [B, gh, gw, D]). Masked forward (mask_tokens=Q, attn_mask given):
-        returns projected mask-token features [B, Q, D]
-        (reference clip.py:252-280).
+        [B, gh, gw, D]). Masked forward (mask_tokens=Q + attn_mask [B,L,L]
+        fused, or reader_mask [B,Q,1+N] split-stream — same math, the
+        split form skips the fused (Q+L)^2 masked softmax): returns
+        projected mask-token features [B, Q, D] (reference clip.py:252-280).
         """
         x, (gh, gw) = self._embed_patches(image)
         B = x.shape[0]
+        transformer = Transformer(self.width, self.layers, self.heads,
+                                  dtype=self.dtype, name="transformer")
+        proj_init = nn.initializers.normal(self.width ** -0.5)
+        if mask_tokens is not None and reader_mask is not None:
+            reader = jnp.broadcast_to(x[:, 0:1],
+                                      (B, mask_tokens, x.shape[-1]))
+            _, r = transformer(x, reader=reader, reader_mask=reader_mask)
+            proj = self.param("proj", proj_init, (self.width, self.embed_dim))
+            r = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(r)
+            return jnp.einsum("blc,cd->bld", r.astype(jnp.float32),
+                              proj.astype(jnp.float32))
         if mask_tokens is not None:
             cls_embed = jnp.broadcast_to(x[:, 0:1], (B, mask_tokens, x.shape[-1]))
             x = jnp.concatenate([cls_embed, x], axis=1)
-        x = Transformer(self.width, self.layers, self.heads, dtype=self.dtype,
-                        name="transformer")(x, attn_mask)
-        proj = self.param("proj", nn.initializers.normal(self.width ** -0.5),
-                          (self.width, self.embed_dim))
+        x = transformer(x, attn_mask)
+        proj = self.param("proj", proj_init, (self.width, self.embed_dim))
         if mask_tokens is not None:
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(
                 x[:, :mask_tokens])

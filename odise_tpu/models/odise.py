@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .clip.adapter import build_mask_attn_mask, clip_preprocess
+from .clip.adapter import build_mask_reader_mask, clip_preprocess
 from .clip.model import TextTransformer, VisionTransformer
 from .helper import ensemble_logits_with_labels, l2_normalize
 
@@ -129,8 +129,8 @@ class PoolingCLIPHead(nn.Module):
         img = clip_preprocess(img, S).astype(self.dtype)
         m = jax.image.resize(masks, (B, Q, S, S), method="bilinear")
         n_img_tokens = (S // self.patch_size) ** 2
-        attn_mask = build_mask_attn_mask(m, self.patch_size, n_img_tokens)
-        return self.clip_visual(img, mask_tokens=Q, attn_mask=attn_mask)
+        reader_mask = build_mask_reader_mask(m, self.patch_size, n_img_tokens)
+        return self.clip_visual(img, mask_tokens=Q, reader_mask=reader_mask)
 
     def __call__(self, images, pred_masks, pred_open_logits,
                  text_embed: jnp.ndarray, labels: Tuple[Tuple[str, ...], ...],

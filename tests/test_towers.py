@@ -157,3 +157,25 @@ def test_latent_diffusion_text_to_image_tiny():
     assert img.shape == (1, 64, 64, 3)
     assert bool(jnp.isfinite(img).all())
     assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
+
+
+def test_clip_split_stream_matches_fused_masked_forward():
+    """Split-stream reader attention (build_mask_reader_mask path) must
+    equal the fused masked attention exactly (same math, no (Q+L)^2
+    softmax). Random image + random masks, nontrivial batch."""
+    from odise_tpu.models.clip.adapter import build_mask_reader_mask
+
+    vit = VisionTransformer(image_size=32, patch_size=8, width=16, layers=3,
+                            heads=2, embed_dim=8)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    params = vit.init(jax.random.PRNGKey(0), img)
+    Q = 4
+    mask_logits = jnp.asarray(rng.randn(2, Q, 32, 32).astype(np.float32) * 4)
+
+    fused = vit.apply(params, img, mask_tokens=Q,
+                      attn_mask=build_mask_attn_mask(mask_logits, 8, 16))
+    split = vit.apply(params, img, mask_tokens=Q,
+                      reader_mask=build_mask_reader_mask(mask_logits, 8, 16))
+    np.testing.assert_allclose(np.asarray(split), np.asarray(fused),
+                               rtol=2e-4, atol=2e-5)
