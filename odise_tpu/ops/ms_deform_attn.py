@@ -9,7 +9,14 @@ Rebuilds the capability of the reference's CUDA MSDeformAttn kernel
 TPU-native design: interchangeable implementations behind one signature,
 mirroring the reference's CUDA/pytorch dual path:
 
-  * ``impl="quad"`` (default) — the 4 bilinear corners of each sample are
+  * ``impl="hybrid"`` (default) — small levels (h*w <= 1024, the stride-32
+    level at eval shapes) are computed as a weighted one-hot MATMUL on the
+    MXU — the bilinear corner weights and all P attention weights fold into
+    a sparse row-weight matrix W[b,h,q,r] built in one fused pass, so the
+    transaction-bound gather disappears for those levels (18.1 -> 16.1
+    ms/call measured at 1024px encoder shapes with f32 locations). Large
+    levels fall through to ``quad``.
+  * ``impl="quad"`` — the 4 bilinear corners of each sample are
     fetched as ONE gathered 4*head_dim row from a neighbor-concatenated
     table (three cyclic rolls, pure streaming). The gather is
     transaction-bound on v5e, so quartering the row count wins ~30% over
@@ -180,12 +187,104 @@ def _quad_impl(value, spatial_shapes, sampling_locations, attention_weights):
     return out.reshape(B, Len_q, n_heads * head_dim)
 
 
+def _matmul_level(value_lvl, h, w, loc, a_lvl):
+    """One level as a weighted one-hot matmul (no row gathers).
+
+    The gather path is HBM-transaction-bound (~256 B rows at ~27 GB/s
+    effective on v5e); for small levels the same contraction runs on the
+    MXU instead: fold the 4 bilinear corner weights AND the attention
+    weights of all P points into a sparse row-weight matrix
+    W[b, h, q, r] (built in one fused compare-multiply-reduce pass), then
+    out = W @ value.  Streaming cost is O(Len_q * R) for W vs
+    O(samples * 4 * head_dim) transactions for the gather — a clear win
+    when R = h*w is small (the stride-32 and stride-16 levels).
+
+    value_lvl: [B*H, h*w, head_dim]; loc: [B,Lq,H,P,2]; a_lvl: [B,Lq,H,P].
+    Returns [B, Lq, H, head_dim] (f32).
+    """
+    B, Lq, H, P, _ = loc.shape
+    loc = loc.astype(jnp.float32)
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    a_lvl = a_lvl.astype(jnp.float32)
+
+    idx_c = []
+    wgt_c = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = x0 + dx
+            yi = y0 + dy
+            wgt = (1.0 - jnp.abs(x - xi)) * (1.0 - jnp.abs(y - yi))
+            valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+            yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+            idx_c.append(yi * w + xi)
+            wgt_c.append(wgt * valid.astype(wgt.dtype) * a_lvl)
+    idx = jnp.stack(idx_c, axis=-1)   # [B,Lq,H,P,4]
+    wgt = jnp.stack(wgt_c, axis=-1)   # [B,Lq,H,P,4]
+
+    r = jnp.arange(h * w, dtype=jnp.int32)
+    # one fused pass: [B,Lq,H,P,4,R] is reduced over (P, corners) without
+    # materializing (XLA reduce fusion), leaving W [B,Lq,H,R]
+    v = value_lvl.reshape(B, H, h * w, value_lvl.shape[-1])
+    # W built in f32 (measured faster than a bf16 build on v5e), cast to
+    # the value dtype only at the matmul — same weight precision as the
+    # gather path, which also reduces in the value dtype
+    W = jnp.sum((idx[..., None] == r) * wgt[..., None], axis=(3, 4))
+    return jnp.einsum("bqhr,bhrc->bqhc", W.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+
+
+def _hybrid_impl(value, spatial_shapes, sampling_locations, attention_weights,
+                 matmul_max_rows: int = 1024):
+    """Per-level strategy: one-hot matmul for small levels (MXU), quad-row
+    gather for large ones (where the W matrix would dominate traffic)."""
+    B, Len_v, n_heads, head_dim = value.shape
+    small = [i for i, (h, w) in enumerate(spatial_shapes)
+             if h * w <= matmul_max_rows]
+    large = [i for i, (h, w) in enumerate(spatial_shapes)
+             if h * w > matmul_max_rows]
+    if not small:
+        return _quad_impl(value, spatial_shapes, sampling_locations,
+                          attention_weights)
+
+    v_bh = value.transpose(0, 2, 1, 3).reshape(B * n_heads, Len_v, head_dim)
+    offsets = []
+    off = 0
+    for (h, w) in spatial_shapes:
+        offsets.append(off)
+        off += h * w
+
+    out = 0.0
+    for i in small:
+        h, w = spatial_shapes[i]
+        out = out + _matmul_level(
+            v_bh[:, offsets[i]:offsets[i] + h * w], h, w,
+            sampling_locations[:, :, :, i], attention_weights[:, :, :, i])
+
+    if large:
+        shapes_l = [spatial_shapes[i] for i in large]
+        value_l = jnp.concatenate(
+            [value[:, offsets[i]:offsets[i] + spatial_shapes[i][0]
+                   * spatial_shapes[i][1]] for i in large], axis=1)
+        loc_l = jnp.stack([sampling_locations[:, :, :, i] for i in large],
+                          axis=3)
+        att_l = jnp.stack([attention_weights[:, :, :, i] for i in large],
+                          axis=3)
+        out = out + _quad_impl(value_l, shapes_l, loc_l, att_l).reshape(
+            B, -1, n_heads, head_dim)
+
+    return out.astype(value.dtype).reshape(B, -1, n_heads * head_dim)
+
+
 def ms_deform_attn(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
-    impl: str = "quad",
+    impl: str = "hybrid",
 ) -> jnp.ndarray:
     """Multi-scale deformable attention.
 
@@ -209,6 +308,9 @@ def ms_deform_attn(
     if impl == "quad":
         return _quad_impl(value, spatial_shapes, sampling_locations,
                           attention_weights)
+    if impl == "hybrid":
+        return _hybrid_impl(value, spatial_shapes, sampling_locations,
+                            attention_weights)
     if impl in ("reference", "xla"):
         return _reference_impl(value, spatial_shapes, sampling_locations,
                                attention_weights)

@@ -234,3 +234,43 @@ def test_auction_lap_tied_costs_matcher_distribution():
         ref = cost[rr, cc].sum()
         # tie-tolerant: total assignment cost within auction epsilon bound
         assert ours <= ref + 1e-3 * T + 1e-5, (trial, ours, ref)
+
+
+def test_ms_deform_attn_hybrid_matches_reference():
+    """Hybrid (matmul small levels + quad large) == reference oracle."""
+    rng = np.random.RandomState(7)
+    B, H, hd, P = 2, 4, 8, 4
+    shapes = [(12, 16), (6, 8), (3, 4)]
+    Lv = sum(h * w for h, w in shapes)
+    Lq = 50
+    value = jnp.asarray(rng.randn(B, Lv, H, hd).astype(np.float32))
+    loc = jnp.asarray(rng.rand(B, Lq, H, len(shapes), P, 2).astype(np.float32))
+    # include out-of-bounds samples
+    loc = loc * 1.2 - 0.1
+    att = jax.nn.softmax(jnp.asarray(
+        rng.randn(B, Lq, H, len(shapes), P).astype(np.float32)).reshape(
+        B, Lq, H, -1), -1).reshape(B, Lq, H, len(shapes), P)
+    ref = ms_deform_attn(value, shapes, loc, att, impl="reference")
+    for cutoff in (0, 50, 10**9):  # all-quad / mixed / all-matmul
+        from odise_tpu.ops.ms_deform_attn import _hybrid_impl
+        out = _hybrid_impl(value, shapes, loc, att, matmul_max_rows=cutoff)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-3)
+
+
+def test_ms_deform_attn_hybrid_differentiable():
+    rng = np.random.RandomState(8)
+    B, H, hd, P = 1, 2, 4, 2
+    shapes = [(6, 8), (3, 4)]
+    Lv = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.randn(B, Lv, H, hd).astype(np.float32))
+    loc = jnp.asarray(rng.rand(B, 10, H, 2, P, 2).astype(np.float32))
+    att = jnp.full((B, 10, H, 2, P), 1.0 / (2 * P), jnp.float32)
+
+    def f(v, l, a):
+        return jnp.sum(ms_deform_attn(v, shapes, l, a, impl="hybrid") ** 2)
+
+    gv, gl, ga = jax.grad(f, argnums=(0, 1, 2))(value, loc, att)
+    for g in (gv, gl, ga):
+        assert bool(jnp.isfinite(g).all())
+        assert float(jnp.abs(g).max()) > 0
