@@ -328,3 +328,21 @@ def test_mapillary_and_coco_stuff_registration():
     assert len(mds.get("stuff_classes")) == 171
     assert sorted(mds.get("stuff_dataset_id_to_contiguous_id").values()) == \
         list(range(171))
+
+
+def test_prefetch_iter_order_and_exceptions():
+    from odise_tpu.utils.prefetch import prefetch_iter
+
+    out = list(prefetch_iter(range(7), lambda x: x * x, depth=2))
+    assert out == [0, 1, 4, 9, 16, 25, 36]
+    assert list(prefetch_iter([], lambda x: x, depth=2)) == []
+    assert list(prefetch_iter([1], lambda x: -x, depth=0)) == [-1]
+
+    def boom(x):
+        if x == 2:
+            raise ValueError("boom")
+        return x
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        list(prefetch_iter(range(4), boom, depth=2))

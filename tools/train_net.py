@@ -193,9 +193,9 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
             mc, mp, tm, topk=int(model.test_topk_per_image), valid_hw=hw))
         import cv2
 
-        t_start = time.perf_counter()
-        n = 0
-        for rec in records:
+        def prep_record(rec):
+            """Host-side prep (decode, resize, pad, gt rasterize) — runs in
+            the prefetch thread, overlapping device time."""
             img = (np.asarray(rec["image"]) if "image" in rec
                    else np.asarray(Image.open(rec["file_name"]).convert("RGB")))
             oh, ow = img.shape[:2]
@@ -206,10 +206,7 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
                 else (h64, w64)
             padded = np.zeros((1, bh, bw, 3), np.float32)
             padded[0, :h, :w] = ai.image.astype(np.float32) / 255.0
-            mask_cls, mask_pred = infer(jnp.asarray(padded))
-            valid_hw = (jnp.int32(h), jnp.int32(w))
 
-            # ---- gather ground truth once (shared by both stat paths) ----
             sem_gt = None
             if semantic_on and "sem_seg_file_name" in rec and os.path.isfile(
                     rec["sem_seg_file_name"]):
@@ -252,6 +249,27 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
                         inst_gt_crowd.append(bool(s.get("iscrowd", 0)))
                     inst_gt_masks = (np.stack(gm) if gm
                                      else np.zeros((0, oh, ow), bool))
+            return dict(padded=padded, h=h, w=w, oh=oh, ow=ow, sem_gt=sem_gt,
+                        gt_ids=gt_ids, gt_segments=gt_segments,
+                        inst_gt_masks=inst_gt_masks,
+                        inst_gt_classes=inst_gt_classes,
+                        inst_gt_crowd=inst_gt_crowd)
+
+        from odise_tpu.utils.prefetch import prefetch_iter
+
+        t_start = time.perf_counter()
+        n = 0
+        for prepped in prefetch_iter(records, prep_record, depth=2):
+            h, w = prepped["h"], prepped["w"]
+            oh, ow = prepped["oh"], prepped["ow"]
+            sem_gt = prepped["sem_gt"]
+            gt_ids = prepped["gt_ids"]
+            gt_segments = prepped["gt_segments"]
+            inst_gt_masks = prepped["inst_gt_masks"]
+            inst_gt_classes = prepped["inst_gt_classes"]
+            inst_gt_crowd = prepped["inst_gt_crowd"]
+            mask_cls, mask_pred = infer(jnp.asarray(prepped["padded"]))
+            valid_hw = (jnp.int32(h), jnp.int32(w))
 
             # ---- device statistics path: only counts leave the chip ----
             stats = None
