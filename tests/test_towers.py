@@ -179,3 +179,26 @@ def test_clip_split_stream_matches_fused_masked_forward():
                       reader_mask=build_mask_reader_mask(mask_logits, 8, 16))
     np.testing.assert_allclose(np.asarray(split), np.asarray(fused),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_tokenizer_with_merges_file(tmp_path):
+    """The ODISE_TPU_CLIP_BPE merges-file path: merges must be applied in
+    rank order and the vocab laid out CLIP-style (256 bytes, 256 </w>
+    bytes, merges, SOT/EOT) so the real file drops in unchanged."""
+    import gzip
+    from odise_tpu.models.clip.tokenizer import SimpleTokenizer
+
+    bpe = tmp_path / "mini_bpe.txt.gz"
+    with gzip.open(bpe, "wt", encoding="utf-8") as f:
+        f.write("#version: mini\n")
+        f.write("h e\nhe l\nhel l\nhell o</w>\nl o</w>\n")
+    tok = SimpleTokenizer(str(bpe))
+    assert tok.is_clip_compatible
+    # "hello" collapses to the single merged token
+    assert tok.bpe("hello") == "hello</w>"
+    enc = tok.encode("hello")
+    assert enc == [tok.encoder["hello</w>"]]
+    # merged token ids start after the 512 byte-level entries
+    assert tok.encoder["hello</w>"] >= 512
+    # unmerged text falls back to byte-level pieces and roundtrips
+    assert tok.decode(tok.encode("xyz")).strip() == "xyz"
