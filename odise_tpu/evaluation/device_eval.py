@@ -437,6 +437,13 @@ class DeviceEvalRunner:
                                    .astype(np.float64)[:m])
         return res
 
+    def reset(self):
+        """Clear accumulated statistics (keeps the compiled-kernel cache —
+        periodic in-training eval reuses the graphs across ticks)."""
+        self._conf = None
+        self._conf_host = np.zeros((self.K, self.K), np.int64)
+        self._conf_n = 0
+
     def flush_confusion(self) -> np.ndarray:
         """Move the device confusion accumulator into the host total and
         return the running host matrix [K, K] int64."""

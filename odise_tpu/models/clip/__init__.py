@@ -12,6 +12,7 @@ from .adapter import (
     EmbeddedImage,
     EmbeddedText,
     build_mask_attn_mask,
+    build_mask_reader_mask,
     build_text_embed,
     clip_preprocess,
     embed_image,

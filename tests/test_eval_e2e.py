@@ -95,4 +95,13 @@ def test_do_test_end_to_end(tmp_path):
     # random weights: metrics exist and are finite, not necessarily good
     for key in ("mIoU", "PQ", "AP"):
         assert key in r and np.isfinite(r[key]), (key, r)
+
+    # host postprocessing fallback path (eval_device_stats=False) must
+    # produce the same metric surface
+    cfg.dataloader.eval_device_stats = False
+    results_host = train_net.do_test(cfg, model, variables)
+    rh = results_host["main"]
+    assert rh["images"] == 2
+    for key in ("mIoU", "PQ", "AP"):
+        assert key in rh and np.isfinite(rh[key]), (key, rh)
     DatasetCatalog.remove(name)

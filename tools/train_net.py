@@ -179,15 +179,24 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
         runner = None
         if cfg.dataloader.get("eval_device_stats", True):
             from odise_tpu.evaluation.device_eval import DeviceEvalRunner
-            runner = DeviceEvalRunner(
-                num_classes=K,
-                thing_mask=np.asarray(vocab.thing_mask),
-                object_mask_threshold=float(model.object_mask_threshold),
-                overlap_threshold=float(model.overlap_threshold),
-                topk=int(model.test_topk_per_image),
-                ignore_label=int(meta.get("ignore_label", 255)),
-                semantic_on=semantic_on, panoptic_on=panoptic_on,
-                instance_on=instance_on)
+            # cache runners across do_test calls (periodic in-training eval)
+            # so compiled stat kernels are reused between ticks
+            cache = getattr(do_test, "_runner_cache", None)
+            if cache is None:
+                cache = do_test._runner_cache = {}
+            rkey = (dataset_name, K, semantic_on, panoptic_on, instance_on)
+            runner = cache.get(rkey)
+            if runner is None:
+                runner = cache[rkey] = DeviceEvalRunner(
+                    num_classes=K,
+                    thing_mask=np.asarray(vocab.thing_mask),
+                    object_mask_threshold=float(model.object_mask_threshold),
+                    overlap_threshold=float(model.overlap_threshold),
+                    topk=int(model.test_topk_per_image),
+                    ignore_label=int(meta.get("ignore_label", 255)),
+                    semantic_on=semantic_on, panoptic_on=panoptic_on,
+                    instance_on=instance_on)
+            runner.reset()
         resize = ResizeShortestEdge(eval_short, eval_max)
         inst_fuse = jax.jit(lambda mc, mp, tm, hw: instance_inference(
             mc, mp, tm, topk=int(model.test_topk_per_image), valid_hw=hw))
