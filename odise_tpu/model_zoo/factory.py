@@ -61,6 +61,7 @@ def build_category_odise(
     with_clip_head: bool = True,
     use_checkpoint: bool = True,
     slide_training: bool = True,
+    slide_serial: bool = True,
     dtype=jnp.float32,
 ) -> CategoryODISE:
     cfg = dict(TINY if scale == "tiny" else FULL)
@@ -88,6 +89,7 @@ def build_category_odise(
         projection_dim=cfg["projection_dim"],
         use_checkpoint=use_checkpoint,
         slide_training=slide_training,
+        slide_serial=slide_serial,
         dtype=dtype,
     )
     hidden = cfg["hidden"]
@@ -164,6 +166,7 @@ def build_caption_odise(
         projection_dim=cfg["projection_dim"],
         use_checkpoint=use_checkpoint,
         slide_training=slide_training,
+        slide_serial=slide_serial,
         dtype=dtype,
     )
     hidden = cfg["hidden"]

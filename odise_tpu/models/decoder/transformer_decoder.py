@@ -66,7 +66,7 @@ class PooledMaskEmbed(nn.Module):
         logit_scale = self.param("logit_scale",
                                  nn.initializers.constant(np.log(1 / self.temperature)),
                                  ())
-        logit_scale = jnp.clip(jnp.exp(logit_scale), a_max=100.0)
+        logit_scale = jnp.clip(jnp.exp(logit_scale), max=100.0)
         return {
             "mask_embed": mask_embed,
             "mask_pooled_features": pooled,

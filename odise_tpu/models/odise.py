@@ -145,7 +145,7 @@ class PoolingCLIPHead(nn.Module):
         # MaskCLIP pred_logits (reference clip.py:340-350)
         me = l2_normalize(mask_embed)
         te = l2_normalize(text_embed)
-        scale = jnp.clip(jnp.exp(self.logit_scale), a_max=100.0)
+        scale = jnp.clip(jnp.exp(self.logit_scale), max=100.0)
         mask_pred_open_logits = scale * jnp.einsum("bqc,kc->bqk", me, te.astype(me.dtype))
         mask_pred_open_logits = ensemble_logits_with_labels(
             mask_pred_open_logits, labels, ensemble_method="max")
@@ -436,7 +436,7 @@ class CLIPOpenClassEmbed(nn.Module):
         assert self.projection_modality in ("text", "image")
         logit_scale = self.param(
             "logit_scale", nn.initializers.constant(np.log(1 / self.temperature)), ())
-        logit_scale = jnp.clip(jnp.exp(logit_scale), a_max=100.0)
+        logit_scale = jnp.clip(jnp.exp(logit_scale), max=100.0)
         null_embed = (self.param("null_embed", nn.initializers.normal(0.02),
                                  (1, self.clip_dim))
                       if self.with_null_embed else None)

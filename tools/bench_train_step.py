@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--max-instances", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="use_checkpoint=False (keep activations)")
+    ap.add_argument("--fused-slide", action="store_true",
+                    help="batched slide crops instead of serial+remat scan")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +48,8 @@ def main():
     labels = tuple((f"category {i}",) for i in range(K))
     model = build_category_odise(
         "full", train_labels=labels, with_clip_head=False,
-        use_checkpoint=True, slide_training=True, dtype=jnp.bfloat16)
+        use_checkpoint=not args.no_remat, slide_training=True,
+        slide_serial=not args.fused_slide, dtype=jnp.bfloat16)
 
     B, S, T = args.batch, args.size, args.max_instances
     img = jnp.zeros((B, S, S, 3), jnp.float32)
