@@ -250,7 +250,12 @@ class CategoryODISE(nn.Module):
         _ = self.encode_vocab(tokens)
         outputs = self.forward_train(images, text_embed_raw)
         if self.clip_head is not None:
-            K = text_embed_raw.shape[0]
+            # dummy vocab must have as many GROUPS as pred_logits has
+            # categories — with multi-synonym train labels the flattened
+            # embed count (text_embed_raw.shape[0]) is larger than the
+            # grouped logit width and the ensemble multiply would mismatch
+            K = (len(self.train_labels) if self.train_labels
+                 else text_embed_raw.shape[0])
             labels = tuple((f"_init_{i}",) for i in range(K))
             clip_text = jnp.zeros((K, self.clip_head.embed_dim), jnp.float32)
             overlap = jnp.zeros((K,), jnp.int32)

@@ -82,3 +82,31 @@ def test_sharded_eval_over_mesh(model_and_vars):
     assert mask_pred.shape == (8, model.num_queries, 64, 64)
     # outputs stay sharded over data
     assert len(mask_cls.sharding.device_set) == 8
+
+
+def test_multi_synonym_vocab_init_and_eval():
+    """Regression: with multi-synonym train labels the flattened text-embed
+    count exceeds the grouped logit width; init_full's dummy clip vocab and
+    the eval ensemble must both use GROUP counts (found via demo vocab)."""
+    import jax
+    import jax.numpy as jnp
+
+    from odise_tpu.model_zoo.factory import build_category_odise
+    from odise_tpu.models.wrapper import (OpenPanopticInference,
+                                          build_open_vocabulary)
+
+    labels = (("cat", "kitty"), ("dog",), ("grass", "lawn", "turf"))
+    flat = sum(len(g) for g in labels)
+    assert flat != len(labels)
+    model = build_category_odise(
+        "tiny", train_labels=labels, with_clip_head=True,
+        use_checkpoint=False, slide_training=False)
+    img = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), img,
+                           jnp.zeros((flat, 16)),
+                           method=type(model).init_full)
+    vocab = build_open_vocabulary(model, variables, labels)
+    assert vocab.text_embed_raw.shape[0] == flat
+    mc, mp = OpenPanopticInference(model, variables, vocab)(img)
+    assert mc.shape[-1] == len(labels) + 1
+    assert bool(jnp.isfinite(mc).all())
