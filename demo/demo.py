@@ -108,10 +108,12 @@ def main():
 
     train_labels = model.train_labels
     flat = [t for g in train_labels for t in g]
-    variables = model.init(
+    # jitted init: eager init through a remote device relay pays one round
+    # trip per op (minutes); one compiled graph initializes in seconds
+    variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
         jnp.zeros((len(flat), model.category_head.clip_dim)),
-        method=type(model).init_full)
+        method=type(model).init_full))()
     if args.init_from:
         from odise_tpu.engine.checkpoint import Checkpointer
         from odise_tpu.model_zoo.convert import load_torch_state_dict

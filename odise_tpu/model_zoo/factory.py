@@ -137,6 +137,7 @@ def build_caption_odise(
     with_clip_head: bool = True,
     use_checkpoint: bool = True,
     slide_training: bool = True,
+    slide_serial: bool = True,
     dtype=jnp.float32,
 ) -> CaptionODISE:
     """Caption-supervised variant (reference

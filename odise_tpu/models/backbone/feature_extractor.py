@@ -490,7 +490,10 @@ class FeatureExtractorBackbone(nn.Module):
             return out
 
         features = self.feature_extractor(img)
-        if self.use_checkpoint:
+        # never wrap during init: param creation inside jax.checkpoint leaks
+        # tracers into the returned variables (the projections' conv kernels
+        # would escape the remat trace under an eager model.init)
+        if self.use_checkpoint and not self.is_initializing():
             forward_features = jax.checkpoint(forward_features)
         return forward_features(features)
 

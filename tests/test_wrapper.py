@@ -110,3 +110,27 @@ def test_multi_synonym_vocab_init_and_eval():
     mc, mp = OpenPanopticInference(model, variables, vocab)(img)
     assert mc.shape[-1] == len(labels) + 1
     assert bool(jnp.isfinite(mc).all())
+
+
+def test_eager_init_with_remat_then_jit_apply():
+    """Regression: eager model.init with use_checkpoint=True used to leak
+    init-time tracers out of the jax.checkpoint wrapper (conv kernels of
+    the stride projections), crashing the next jit trace (found via demo)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from odise_tpu.model_zoo.factory import build_category_odise
+
+    labels = (("a",), ("b",), ("c",))
+    model = build_category_odise(
+        "tiny", train_labels=labels, with_clip_head=False,
+        use_checkpoint=True, slide_training=True)
+    img = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), img, jnp.zeros((3, 16)),
+                           method=type(model).init_full)  # eager, not jitted
+    enc = jax.jit(functools.partial(model.apply,
+                                    method=type(model).encode_vocab))
+    out = enc(variables, jnp.zeros((2, 77), jnp.int32))
+    assert out.shape == (2, 16)
