@@ -318,7 +318,10 @@ class DeviceEvalRunner:
                 pan_seg_ids: Optional[np.ndarray] = None,
                 inst_gt_masks: Optional[np.ndarray] = None) -> Optional[dict]:
         """One image.  Returns a dict of host-side stats, or None when the
-        original size exceeds every grid (caller should use the host path).
+        image does not fit the device path — original size beyond every
+        grid, more than ``s_max`` panoptic gt segments, or more than the
+        largest instance bucket — in which case the caller should use the
+        host-postprocessing path.
 
         mask_cls [Q, K+1], mask_pred [Q, H, W] — on device, bucket padded.
         sem_gt [oh, ow] int — semantic gt (original resolution).
@@ -333,6 +336,11 @@ class DeviceEvalRunner:
         grid = pick_grid(oh, ow, self.grids)
         if grid is None:
             return None
+        if pan_gt_ids is not None and pan_seg_ids is not None \
+                and len(pan_seg_ids) > self.s_max:
+            return None  # crowded image: host fallback
+        if inst_gt_masks is not None and len(inst_gt_masks) > _M_BUCKETS[-1]:
+            return None  # too many gt instances: host fallback
         gh, gw = grid
         K = self.K
 

@@ -36,26 +36,6 @@ def mask_iou(pred: np.ndarray, gt: np.ndarray) -> float:
     return _native_iou(pred, gt)
 
 
-def mask_iou_matrix(dt_masks: np.ndarray, gt_masks: np.ndarray,
-                    gt_crowd: np.ndarray) -> np.ndarray:
-    """[D, G] IoU; for crowd gt, IoU = intersection / det area
-    (pycocotools maskUtils.iou iscrowd semantics)."""
-    D, G = len(dt_masks), len(gt_masks)
-    out = np.zeros((D, G), np.float64)
-    if D == 0 or G == 0:
-        return out
-    # f32 matmul: pixel counts < 2^24 stay exact, half the memory of f64
-    dt = dt_masks.reshape(D, -1).astype(np.float32)
-    gt = gt_masks.reshape(G, -1).astype(np.float32)
-    inter = (dt @ gt.T).astype(np.float64)
-    d_area = dt.sum(1, dtype=np.float64)
-    g_area = gt.sum(1, dtype=np.float64)
-    union = d_area[:, None] + g_area[None, :] - inter
-    denom = np.where(gt_crowd[None, :], d_area[:, None], union)
-    np.divide(inter, denom, out=out, where=denom > 0)
-    return out
-
-
 class InstanceSegEvaluator:
     def __init__(self, num_classes: int, max_dets: int = 100,
                  class_names: Optional[Sequence[str]] = None):

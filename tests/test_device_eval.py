@@ -192,3 +192,23 @@ def test_device_eval_empty_instance_gt():
                            inst_gt_masks=np.zeros((0, 19, 27), bool))
     assert stats is not None and stats["inst_inter"].shape[1] == 0
     assert stats["inst_gt_area"].shape == (0,)
+
+
+def test_device_eval_oversized_gt_falls_back():
+    """More panoptic segments than s_max (crowded street scenes) or more
+    instances than the largest bucket must return None (host fallback),
+    never raise mid-eval."""
+    rng = np.random.RandomState(4)
+    mask_cls, mask_pred, thing = _fixture(rng)
+    runner = DeviceEvalRunner(
+        num_classes=7, thing_mask=thing, object_mask_threshold=0.0,
+        overlap_threshold=0.8, topk=10, grids=((20, 28),), s_max=4)
+    out = runner.process(
+        jnp.asarray(mask_cls), jnp.asarray(mask_pred), (22, 29), (19, 27),
+        pan_gt_ids=np.ones((19, 27), np.uint32),
+        pan_seg_ids=np.arange(1, 7, dtype=np.uint32))  # 6 > s_max=4
+    assert out is None
+    out = runner.process(
+        jnp.asarray(mask_cls), jnp.asarray(mask_pred), (22, 29), (19, 27),
+        inst_gt_masks=np.zeros((129, 19, 27), bool))  # > largest bucket
+    assert out is None

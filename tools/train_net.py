@@ -112,11 +112,22 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
                if cfg.dataloader.get("eval_bucketed", True) else None)
 
     # fusion jitted once; (h, w) passed as traced scalars so every image in a
-    # bucket reuses the same graph (recompiles only per bucket / vocab size)
-    pan_fuse = jax.jit(lambda mc, mp, tm, hw: panoptic_inference(
-        mc, mp, tm,
-        object_mask_threshold=float(model.object_mask_threshold),
-        overlap_threshold=float(model.overlap_threshold), valid_hw=hw))
+    # bucket reuses the same graph (recompiles only per bucket / vocab size).
+    # Cached across do_test calls so periodic in-training eval reuses the
+    # compiled graphs (jax.jit caches per wrapper object).
+    fuse_cache = getattr(do_test, "_fuse_cache", None)
+    if fuse_cache is None:
+        fuse_cache = do_test._fuse_cache = {}
+    pkey = ("pan", float(model.object_mask_threshold),
+            float(model.overlap_threshold))
+    pan_fuse = fuse_cache.get(pkey)
+    if pan_fuse is None:
+        pan_fuse = fuse_cache[pkey] = jax.jit(
+            lambda mc, mp, tm, hw: panoptic_inference(
+                mc, mp, tm,
+                object_mask_threshold=float(model.object_mask_threshold),
+                overlap_threshold=float(model.overlap_threshold),
+                valid_hw=hw))
 
     for task_name, task in tasks.items():
         wrapper_cfg = instantiate(task["wrapper"])
@@ -140,7 +151,8 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
         infer = OpenPanopticInference(model, variables, vocab)
         K = len(vocab.labels)
         meta = MetadataCatalog.get(dataset_name)
-        thing_mask_arr = jnp.asarray(vocab.thing_mask)
+        thing_mask_np = np.asarray(vocab.thing_mask)
+        thing_mask_arr = jnp.asarray(thing_mask_np)
 
         semantic_on = wrapper_cfg.get("semantic_on", True)
         panoptic_on = wrapper_cfg.get("panoptic_on", True)
@@ -150,7 +162,7 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
             num_classes=K, ignore_label=meta.get("ignore_label", 255))
         pan_ev = PanopticEvaluator(
             categories=list(range(K)),
-            isthing_map={i: bool(vocab.thing_mask[i]) for i in range(K)})
+            isthing_map={i: bool(thing_mask_np[i]) for i in range(K)})
         from odise_tpu.evaluation.instance_eval import InstanceSegEvaluator
         from odise_tpu.models.inference import instance_inference
         from odise_tpu.data.transforms import rgb2id
@@ -198,8 +210,13 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
                     instance_on=instance_on)
             runner.reset()
         resize = ResizeShortestEdge(eval_short, eval_max)
-        inst_fuse = jax.jit(lambda mc, mp, tm, hw: instance_inference(
-            mc, mp, tm, topk=int(model.test_topk_per_image), valid_hw=hw))
+        ikey = ("inst", int(model.test_topk_per_image))
+        inst_fuse = fuse_cache.get(ikey)
+        if inst_fuse is None:
+            inst_fuse = fuse_cache[ikey] = jax.jit(
+                lambda mc, mp, tm, hw: instance_inference(
+                    mc, mp, tm, topk=int(model.test_topk_per_image),
+                    valid_hw=hw))
         import cv2
 
         def prep_record(rec):
@@ -251,7 +268,7 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
                 elif gt_ids is not None and gt_segments is not None:
                     gm, inst_gt_classes, inst_gt_crowd = [], [], []
                     for s in gt_segments:
-                        if not bool(vocab.thing_mask[s["category_id"]]):
+                        if not bool(thing_mask_np[s["category_id"]]):
                             continue
                         gm.append(gt_ids == s["id"])
                         inst_gt_classes.append(s["category_id"])
