@@ -43,7 +43,7 @@ def batch_dice_cost(pred_pts: jnp.ndarray, tgt_pts: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - (numerator + 1.0) / (denominator + 1.0)
 
 
-def hungarian_match(
+def match_cost_matrix(
     pred_logits: jnp.ndarray,   # [B, Q, K+1]
     pred_masks: jnp.ndarray,    # [B, Q, h, w]
     gt_labels: jnp.ndarray,     # [B, T] int32 (any value where invalid)
@@ -54,9 +54,13 @@ def hungarian_match(
     cost_class: float = 2.0,
     cost_mask: float = 5.0,
     cost_dice: float = 5.0,
-) -> MatchResult:
-    """Batched on-device Hungarian matching. Returns, per valid target, its
-    assigned query (arbitrary for invalid targets)."""
+) -> jnp.ndarray:
+    """Per-image matching cost matrices [B, Q, T] (invalid targets already
+    penalized).  Split from the assignment so multiple decoder layers' cost
+    matrices can be solved by ONE batched auction — a vmapped
+    ``lax.while_loop`` runs max-iterations-over-problems instead of the sum
+    of 10 sequential per-layer loops (the dominant train-step cost before
+    this split)."""
     B, Q, K1 = pred_logits.shape
     T = gt_labels.shape[1]
     assert T <= Q, "pad targets to at most num_queries"
@@ -68,12 +72,14 @@ def hungarian_match(
         cc = -prob[:, jnp.clip(labels, 0, K1 - 2)]  # [Q, T]
 
         pts = jax.random.uniform(key, (1, num_points, 2))
-        pred_pts = point_sample(masks[:, :, :, None],  # [Q, h, w, 1]
-                                jnp.broadcast_to(pts, (Q, num_points, 2)),
-                                align_corners=False)[..., 0]  # [Q, P]
-        tgt_pts = point_sample(tgt_masks[:, :, :, None],
-                               jnp.broadcast_to(pts, (T, num_points, 2)),
-                               align_corners=False)[..., 0]  # [T, P]
+        # the P points are SHARED by all masks, so sample channel-major:
+        # one gathered row carries all Q (or T) mask values at that point
+        # (4*Q bytes/transaction) instead of Q separate scalar gathers —
+        # the gather is transaction-bound, same as deformable attention
+        pred_pts = point_sample(jnp.transpose(masks, (1, 2, 0))[None],
+                                pts, align_corners=False)[0].T  # [Q, P]
+        tgt_pts = point_sample(jnp.transpose(tgt_masks, (1, 2, 0))[None],
+                               pts, align_corners=False)[0].T   # [T, P]
 
         cm = batch_sigmoid_ce_cost(pred_pts, tgt_pts)
         cd = batch_dice_cost(pred_pts, tgt_pts)
@@ -84,15 +90,44 @@ def hungarian_match(
         # assignment precision for the real entries.
         real_max = jnp.max(jnp.where(valid[None, :], cost, -jnp.inf))
         real_max = jnp.where(jnp.isfinite(real_max), real_max, 0.0)
-        cost = jnp.where(valid[None, :], cost, real_max + 1.0)
-        col_of_row = linear_sum_assignment(cost)  # [Q], values in [0, Q)
+        return jnp.where(valid[None, :], cost, real_max + 1.0)
+
+    return jax.vmap(per_image)(pred_logits, pred_masks, gt_labels, gt_masks,
+                               gt_valid, rngs)
+
+
+def assign_from_cost(cost: jnp.ndarray) -> jnp.ndarray:
+    """cost [N, Q, T] -> matched query per target [N, T] via one batched
+    on-device auction (single vmapped while_loop for all N problems)."""
+    N, Q, T = cost.shape
+
+    def per_problem(c):
+        col_of_row = linear_sum_assignment(c)  # [Q], values in [0, Q)
         # invert: for each target t, the query assigned to it
         matched_q = jnp.full((T,), 0, jnp.int32)
         rows = jnp.arange(Q, dtype=jnp.int32)
-        matched_q = matched_q.at[jnp.where(col_of_row < T, col_of_row, T)].set(
+        return matched_q.at[jnp.where(col_of_row < T, col_of_row, T)].set(
             rows, mode="drop")
-        return matched_q
 
-    matched = jax.vmap(per_image)(pred_logits, pred_masks, gt_labels, gt_masks,
-                                  gt_valid, rngs)
-    return MatchResult(matched_query=matched, valid=gt_valid)
+    return jax.vmap(per_problem)(cost)
+
+
+def hungarian_match(
+    pred_logits: jnp.ndarray,
+    pred_masks: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_masks: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    rng: jax.Array,
+    num_points: int = 12544,
+    cost_class: float = 2.0,
+    cost_mask: float = 5.0,
+    cost_dice: float = 5.0,
+) -> MatchResult:
+    """Batched on-device Hungarian matching. Returns, per valid target, its
+    assigned query (arbitrary for invalid targets)."""
+    cost = match_cost_matrix(pred_logits, pred_masks, gt_labels, gt_masks,
+                             gt_valid, rng, num_points=num_points,
+                             cost_class=cost_class, cost_mask=cost_mask,
+                             cost_dice=cost_dice)
+    return MatchResult(matched_query=assign_from_cost(cost), valid=gt_valid)

@@ -25,6 +25,13 @@ def grid_sample(im: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = False)
 
     Returns:
       [B, N, C] sampled values, zero-padded outside the image.
+
+    Single-channel maps take a quad-row path: the four bilinear corners of
+    a sample live at flat offsets {0, 1, W, W+1}, so a neighbor-packed
+    [B, H*W, 4] table (three cyclic rolls) turns four scalar gathers into
+    ONE 16-byte row gather — the gather is HBM-transaction-bound, and this
+    is the dominant cost of the point-sampled losses (same trick as the
+    deformable-attention quad path, ops/ms_deform_attn.py).
     """
     B, H, W, C = im.shape
     x, y = grid[..., 0], grid[..., 1]
@@ -45,6 +52,27 @@ def grid_sample(im: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = False)
     wy1 = y - y0
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
+
+    if C == 1:
+        def cw(xi, yi, w):
+            valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+            return w * valid.astype(im.dtype)
+
+        # corner order matches the packed-table roll offsets {0, 1, W, W+1}
+        wgt = jnp.stack([cw(x0, y0, wx0 * wy0), cw(x1, y0, wx1 * wy0),
+                         cw(x0, y1, wx0 * wy1), cw(x1, y1, wx1 * wy1)],
+                        axis=-1)  # [B, N, 4]
+        flat = im[..., 0].reshape(B, H * W)
+        quad = jnp.stack([flat,
+                          jnp.roll(flat, -1, axis=1),
+                          jnp.roll(flat, -W, axis=1),
+                          jnp.roll(flat, -(W + 1), axis=1)], axis=-1)
+        # top-left flat index wrapped cyclically (roll semantics); invalid
+        # corners wrap to arbitrary rows but carry weight 0
+        base = (y0.astype(jnp.int32) * W + x0.astype(jnp.int32)) % (H * W)
+        base = jnp.where(base < 0, base + H * W, base)
+        rows = jnp.take_along_axis(quad, base[..., None], axis=1)  # [B, N, 4]
+        return jnp.sum(rows * wgt, axis=-1, keepdims=True)
 
     def corner(xi, yi, w):
         valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)

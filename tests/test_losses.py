@@ -140,3 +140,16 @@ def test_grounding_loss_multidevice_allgather():
     loss_global = float(mask_grounding_criterion(
         outputs, valid, GroundingConfig(collect_mode=None))["loss_mask_word"])
     np.testing.assert_allclose(loss_sharded, loss_global, rtol=1e-4)
+
+
+def test_batched_assignment_matches_per_layer():
+    """set_criterion's single batched auction must assign identically to
+    solving each layer's cost matrix separately."""
+    from odise_tpu.losses.matcher import assign_from_cost
+
+    rng = np.random.RandomState(5)
+    costs = jnp.asarray(rng.rand(6, 20, 7).astype(np.float32) * 10)
+    batched = np.asarray(assign_from_cost(costs))
+    for i in range(costs.shape[0]):
+        single = np.asarray(assign_from_cost(costs[i:i + 1]))[0]
+        np.testing.assert_array_equal(batched[i], single)

@@ -274,3 +274,23 @@ def test_ms_deform_attn_hybrid_differentiable():
     for g in (gv, gl, ga):
         assert bool(jnp.isfinite(g).all())
         assert float(jnp.abs(g).max()) > 0
+
+
+def test_grid_sample_quad_c1_matches_general_path():
+    """The single-channel quad-row fast path must equal the general
+    multi-channel gather path exactly (force the general path by
+    duplicating the channel)."""
+    from odise_tpu.ops.grid_sample import grid_sample
+
+    rng = np.random.RandomState(11)
+    im = jnp.asarray(rng.randn(3, 9, 13, 1).astype(np.float32))
+    grid = jnp.asarray((rng.rand(3, 500, 2) * 2.4 - 1.2).astype(np.float32))
+    fast = grid_sample(im, grid)
+    general = grid_sample(jnp.concatenate([im, im], -1), grid)[..., :1]
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(general),
+                               rtol=1e-6, atol=1e-6)
+    for ac in (True, False):
+        f = grid_sample(im, grid, align_corners=ac)
+        g = grid_sample(jnp.concatenate([im, im], -1), grid,
+                        align_corners=ac)[..., :1]
+        np.testing.assert_allclose(np.asarray(f), np.asarray(g), atol=1e-6)

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--max-instances", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--fwd-only", action="store_true",
+                    help="time the loss forward alone (no grad/update)")
     ap.add_argument("--no-remat", action="store_true",
                     help="use_checkpoint=False (keep activations)")
     ap.add_argument("--fused-slide", action="store_true",
@@ -67,9 +69,34 @@ def main():
 
     tx = make_optimizer(params, lr=1e-4, milestones=(10,), grad_clip=0.01)
     state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
-    step = make_category_train_step(
-        model, tx, CriterionConfig(num_classes=K, num_points=12544),
-        text_embed_raw=text_raw, labels=labels, frozen_params=frozen)
+    if args.fwd_only:
+        import jax as _jax
+        from odise_tpu.losses import set_criterion
+        from odise_tpu.engine.train_loop import merge_param_trees
+
+        def _loss(params, frozen_in, batch, rng):
+            merged = merge_param_trees(frozen_in, params)
+            outputs = model.apply({"params": merged}, batch["image"],
+                                  text_raw, labels,
+                                  method=type(model).forward_train)
+            targets = {"labels": batch["gt_labels"],
+                       "masks": batch["gt_masks"],
+                       "valid": batch["gt_valid"]}
+            losses = set_criterion(
+                outputs, targets, rng,
+                CriterionConfig(num_classes=K, num_points=12544))
+            return {"total_loss": sum(losses.values())}
+
+        _loss_jit = _jax.jit(_loss)
+
+        def step(state, batch, rng):
+            # frozen towers as jit ARGUMENTS: closing over them bakes 5.4GB
+            # of constants into the HLO (see NOTES.md)
+            return state, _loss_jit(state.params, frozen, batch, rng)
+    else:
+        step = make_category_train_step(
+            model, tx, CriterionConfig(num_classes=K, num_points=12544),
+            text_embed_raw=text_raw, labels=labels, frozen_params=frozen)
 
     rng = np.random.RandomState(0)
     batch = {
