@@ -6,14 +6,89 @@ Baseline (BASELINE.md): >= 4 img/sec/chip at 1024-px panoptic inference.
 The benchmark path is the reference's eval configuration (1024^2 input,
 sliding-window 512-crop SD feature extraction, 9-layer masked decoder,
 CLIP-head ensembling over a 133-category COCO vocabulary, on-device panoptic
-fusion) with bf16 compute.
+fusion) with bf16 compute; cf. the reference's runtime log surface
+(/root/reference/odise/evaluation/evaluator.py:131-142).
+
+Wall-clock budget design (round-3 fix for the r2 driver timeout):
+  * every phase logs elapsed time to STDERR as it happens, so a timeout is
+    diagnosable from the captured tail;
+  * zero parameters come from a committed static shape manifest
+    (odise_tpu/model_zoo/bench_manifest.json.gz): ONE eager flat zero
+    buffer per dtype lives on device (no host->device upload at all), and
+    the parameter tree is carved out of it by static slices INSIDE the
+    jitted step (~ms of HBM copies per call) — no full-model
+    `jax.eval_shape` trace (~minutes on this 1-core host), no GB-sized
+    host buffers (~14 MB/s upload), no GB-sized jit outputs (~8 MB/s
+    stream-back). Measured end-to-end: ~240 s total wall uncontended
+    (pre-compile ~30 s, compile ~125-205 s, timed loop ~2 s);
+  * the deformable-attention impl is selectable (--impl); the default is
+    chosen for best (compile + run) under the driver budget.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+_T0 = time.perf_counter()
+
+
+def log(msg: str) -> None:
+    print(f"[bench t={time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def load_manifest_flat(path, storage="f32"):
+    """Static shape manifest -> (flat zero buffers per dtype, unflatten fn).
+
+    Two relay pathologies shape this design (measured, NOTES.md): jitted
+    fns whose outputs total GBs stream back to host at ~8 MB/s (so params
+    must not be jit outputs), and every eager op pays a ~25-85 ms relay
+    round-trip (so 2146 per-leaf `jnp.zeros` cost ~3 min). Instead: ONE
+    eager flat zero buffer per dtype (a handful of relay ops, device-side
+    constant fill, nothing uploaded), and the parameter tree is carved out
+    of it by static `lax.slice` INSIDE the jitted step — ~ms of HBM copies
+    per call on v5e, nothing on the host.
+    """
+    import gzip
+
+    import jax
+    import jax.numpy as jnp
+
+    with gzip.open(path, "rt") as f:
+        manifest = json.load(f)
+
+    offsets = {}
+    spec = []  # (path_parts, dtype_str, offset, size, shape)
+    for path_str, (shape, dtype) in manifest.items():
+        if storage == "bf16" and dtype == "float32":
+            # bf16 storage for the frozen towers: half the param HBM
+            # traffic per step, and flax casts to the bf16 compute dtype
+            # regardless, so the math is unchanged
+            dtype = "bfloat16"
+        size = 1
+        for d in shape:
+            size *= d
+        off = offsets.get(dtype, 0)
+        spec.append((path_str.split("/"), dtype, off, size, tuple(shape)))
+        offsets[dtype] = off + size
+
+    flats = {dt: jnp.zeros((n,), jnp.dtype(dt)) for dt, n in offsets.items()}
+
+    def unflatten(flats):
+        tree = {}
+        for parts, dt, off, size, shape in spec:
+            node = tree
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jax.lax.slice(
+                flats[dt], (off,), (off + size,)).reshape(shape)
+        return tree
+
+    return flats, unflatten
 
 
 def main():
@@ -23,19 +98,31 @@ def main():
     ap.add_argument("--image-size", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--no-clip-head", action="store_true")
+    ap.add_argument("--impl", default=os.environ.get(
+        "ODISE_TPU_DEFORM_IMPL", "hybrid"),
+        help="deformable-attention impl: hybrid|quad|fused|reference")
+    ap.add_argument("--no-manifest", action="store_true",
+                    help="force the slow eval_shape param path")
+    ap.add_argument("--param-storage", default="bf16", choices=["f32", "bf16"],
+                    help="on-device storage dtype for the (frozen) params")
     args = ap.parse_args()
+    os.environ["ODISE_TPU_DEFORM_IMPL"] = args.impl
 
+    log(f"importing jax (impl={args.impl})")
     import jax
     import jax.numpy as jnp
 
     from odise_tpu.model_zoo.factory import build_category_odise
     from odise_tpu.models.inference import panoptic_inference, semantic_inference
 
+    log(f"jax ready, device={jax.devices()[0]}")
+
     K = 133
     labels = tuple((f"category {i}",) for i in range(K))
     model = build_category_odise(
         "full", train_labels=labels, with_clip_head=not args.no_clip_head,
         use_checkpoint=False, slide_training=False, dtype=jnp.bfloat16)
+    log("model built")
 
     S = args.image_size
     B = args.batch
@@ -45,17 +132,47 @@ def main():
     overlap = jnp.zeros((K,), jnp.int32)
     thing_mask = jnp.asarray([True] * 80 + [False] * (K - 80))
 
-    def init_fn():
-        return model.init(jax.random.PRNGKey(0), img, text_raw, labels,
-                          clip_text, labels, overlap,
-                          method=type(model).forward_eval)
+    manifest_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "odise_tpu", "model_zoo", "bench_manifest.json.gz")
+    param_arg = None
+    unflatten = None
+    if not args.no_manifest and not args.no_clip_head:
+        try:
+            param_arg, unflatten = load_manifest_flat(
+                manifest_path, storage=args.param_storage)
+            log(f"params = flat zero buffers from static manifest "
+                f"({args.param_storage} storage)")
+        except Exception as e:  # stale/missing manifest: fall through
+            log(f"manifest unavailable ({e!r}); falling back to eval_shape")
+    if param_arg is None:
+        def init_fn():
+            return model.init(jax.random.PRNGKey(0), img, text_raw, labels,
+                              clip_text, labels, overlap,
+                              method=type(model).forward_eval)
 
-    shapes = jax.eval_shape(init_fn)
-    variables = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        shapes = jax.eval_shape(init_fn)
+        log("eval_shape trace done")
+        param_arg = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        unflatten = lambda v: v  # noqa: E731
+        log("zero params materialized")
+
+    # relay round-trip floor (scalar fetch); subtracted from per-iter time
+    @jax.jit
+    def tiny(x):
+        return jnp.sum(x[:, 0, 0, 0])
+
+    float(tiny(img))
+    t0 = time.perf_counter()
+    for _ in range(6):
+        float(tiny(img))
+    rtt = (time.perf_counter() - t0) / 6
+    log(f"relay rtt = {rtt * 1000:.1f} ms")
 
     @jax.jit
-    def eval_step(variables, img, text_raw, clip_text, overlap):
+    def eval_step(param_arg, img, text_raw, clip_text, overlap):
+        variables = unflatten(param_arg)
         mask_cls, mask_pred = model.apply(
             variables, img, text_raw, labels, clip_text, labels, overlap,
             method=type(model).forward_eval)
@@ -69,29 +186,22 @@ def main():
         return (jnp.sum(sem.astype(jnp.float32))
                 + jnp.sum(pan.panoptic_seg) + jnp.sum(pan.num_segments))
 
-    # relay round-trip floor (subtracted: a tunnel artifact, not device time)
-    @jax.jit
-    def tiny(x):
-        return jnp.sum(x[:, 0, 0, 0])
-
-    float(tiny(img))
-    t0 = time.perf_counter()
-    for _ in range(6):
-        float(tiny(img))
-    rtt = (time.perf_counter() - t0) / 6
-
+    log("compiling eval graph")
     t_compile0 = time.perf_counter()
-    float(eval_step(variables, img, text_raw, clip_text, overlap))
+    float(eval_step(param_arg, img, text_raw, clip_text, overlap))
     compile_s = time.perf_counter() - t_compile0
+    log(f"eval graph compiled+first-run in {compile_s:.1f}s")
 
-    for _ in range(args.warmup):
-        float(eval_step(variables, img, text_raw, clip_text, overlap))
+    for i in range(args.warmup):
+        float(eval_step(param_arg, img, text_raw, clip_text, overlap))
+        log(f"warmup {i + 1}/{args.warmup}")
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        float(eval_step(variables, img, text_raw, clip_text, overlap))
+        float(eval_step(param_arg, img, text_raw, clip_text, overlap))
     dt = time.perf_counter() - t0
     per_iter = max(dt / args.iters - rtt, 1e-6)
+    log(f"{args.iters} timed iters in {dt:.2f}s -> {per_iter * 1000:.1f} ms/img")
 
     imgs_per_sec = B / per_iter
     print(json.dumps({
@@ -103,9 +213,12 @@ def main():
             "image_size": S,
             "batch": B,
             "clip_head": not args.no_clip_head,
+            "deform_impl": args.impl,
+            "param_storage": args.param_storage,
             "compile_s": round(compile_s, 1),
             "relay_rtt_ms": round(rtt * 1000, 1),
             "step_ms": round(per_iter * 1000, 1),
+            "total_wall_s": round(time.perf_counter() - _T0, 1),
             "device": str(jax.devices()[0]),
         },
     }))
