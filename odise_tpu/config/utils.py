@@ -22,6 +22,13 @@ def auto_scale_workers(cfg, num_workers: int):
     disables scaling (same contract as the reference).
     """
     old_world_size = cfg.train.get("reference_world_size", 0)
+    # gradient accumulation multiplies the effective world size: k micro
+    # steps per chip reproduce k chips' batch contribution (the reference
+    # has no accumulation — its only lever is world size, utils.py:20-82).
+    # train.accum_steps=8 on 1 chip with reference_world_size=8 therefore
+    # trains the EXACT reference recipe (batch, lr, schedule) unscaled.
+    accum = int(cfg.train.get("accum_steps", 1))
+    num_workers = num_workers * max(accum, 1)
     if old_world_size == 0 or old_world_size == num_workers:
         return cfg
     cfg = copy.deepcopy(cfg)

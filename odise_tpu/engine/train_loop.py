@@ -84,6 +84,7 @@ def make_category_train_step(
     donate: bool = True,
     frozen_params=None,
     grad_clip: float = 0.01,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build the jitted CategoryODISE train step.
 
@@ -93,9 +94,18 @@ def make_category_train_step(
     When ``frozen_params`` is given, ``state.params`` holds ONLY the trainable
     subtree (see ``partition_params``); the frozen towers are closed over and
     excluded from differentiation entirely.
+
+    ``accum_steps=k`` reproduces the reference's global-batch-64 dynamics on
+    few chips (reference auto_scale_workers, odise/config/utils.py:20-82, and
+    DDP grad averaging): the batch splits into k equal micro-batches scanned
+    sequentially; per-micro losses use the DDP-equivalent num_masks (the mean
+    over micro-batches, mirroring criterion.py:231-238's all_reduce), grads
+    are averaged, and ONE optimizer update is applied. Micro-step i folds the
+    step rng as a DDP rank would draw its own — semantics equal to k-way data
+    parallelism, tested in tests/test_engine.py.
     """
 
-    def loss_fn(params, frozen, batch, rng):
+    def loss_fn(params, frozen, batch, rng, num_masks_override=None):
         if frozen is not None:
             params = merge_param_trees(frozen, params)
         outputs = model.apply({"params": params}, batch["image"], text_embed_raw,
@@ -103,12 +113,50 @@ def make_category_train_step(
         targets = {"labels": batch["gt_labels"], "masks": batch["gt_masks"],
                    "valid": batch["gt_valid"]}
         losses = set_criterion(outputs, targets, rng, criterion_cfg,
-                               axis_name=axis_name)
+                               axis_name=axis_name,
+                               num_masks_override=num_masks_override)
         total = sum(losses.values())
         return total, losses
 
+    def grads_and_losses(params, frozen, batch, rng):
+        if accum_steps == 1:
+            return jax.value_and_grad(loss_fn, has_aux=True)(
+                params, frozen, batch, rng)
+        k = accum_steps
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((k, x.shape[0] // k) + x.shape[1:]), batch)
+        # DDP num_masks sync: mean of per-micro (clamped) target counts
+        per_micro_nm = jnp.maximum(
+            jnp.sum(micro["gt_valid"].astype(jnp.float32), axis=tuple(
+                range(1, micro["gt_valid"].ndim))), 1.0)
+        nm = jnp.mean(per_micro_nm)
+        rngs = jax.random.split(rng, k)
+
+        def body(carry, xs):
+            g_acc, loss_acc = carry
+            mb, r = xs
+            (total, losses), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, frozen, mb, r, nm)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+            loss_acc = jax.tree_util.tree_map(jnp.add, loss_acc, (total, losses))
+            return (g_acc, loss_acc), None
+
+        g0 = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        l0 = jax.eval_shape(lambda: loss_fn(params, frozen,
+                                            jax.tree_util.tree_map(lambda x: x[0], micro),
+                                            rngs[0], nm))
+        l0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), l0)
+        (g_sum, (total, losses)), _ = jax.lax.scan(
+            body, (g0, l0), (micro, rngs))
+        inv_k = 1.0 / k
+        grads = jax.tree_util.tree_map(lambda g: g * inv_k, g_sum)
+        total = total * inv_k
+        losses = jax.tree_util.tree_map(lambda v: v * inv_k, losses)
+        return (total, losses), grads
+
     def step_fn(state: TrainState, frozen, batch, rng):
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (total, losses), grads = grads_and_losses(
             state.params, frozen, batch, rng)
         gnorm = global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -116,6 +116,7 @@ def set_criterion(
     rng: jax.Array,
     cfg: CriterionConfig = CriterionConfig(),
     axis_name: Optional[str] = None,
+    num_masks_override: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Compute main + auxiliary losses.
 
@@ -124,10 +125,17 @@ def set_criterion(
       valid [B,T] bool.
     axis_name: if set, num_masks is averaged across that mesh axis
       (reference criterion.py:231-238 all_reduce).
+    num_masks_override: traced scalar replacing the local num_masks — used by
+      gradient accumulation to reproduce the reference's DDP normalization
+      (the all-reduced num_masks mean) across micro-steps.
     """
-    num_masks = jnp.maximum(jnp.sum(targets["valid"].astype(jnp.float32)), 1.0)
-    if axis_name is not None:
-        num_masks = jax.lax.pmean(num_masks, axis_name)
+    if num_masks_override is not None:
+        num_masks = num_masks_override
+    else:
+        num_masks = jnp.maximum(
+            jnp.sum(targets["valid"].astype(jnp.float32)), 1.0)
+        if axis_name is not None:
+            num_masks = jax.lax.pmean(num_masks, axis_name)
 
     layers = [outputs] + list(outputs.get("aux_outputs", []) if cfg.deep_supervision else [])
     losses: Dict[str, jnp.ndarray] = {}

@@ -1,0 +1,91 @@
+"""Gradient accumulation == k-way DDP semantics.
+
+The reference trains at global batch 64 and rescales linearly for other world
+sizes (reference odise/config/utils.py:20-82); on few chips the exact
+batch-64 dynamics need accumulation, which the reference lacks. The TPU-native
+step scans k micro-batches with the DDP-equivalent num_masks (mean across
+micro-batches, mirroring criterion.py:231-238), averages grads, and applies
+ONE optimizer update. This test verifies the scan machinery against an
+independent manual computation: mean of per-micro grads -> one tx.update.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from odise_tpu.engine.optimizer import make_optimizer
+from odise_tpu.engine.train_loop import (
+    TrainState, make_category_train_step, merge_param_trees, partition_params)
+from odise_tpu.losses import CriterionConfig, set_criterion
+from odise_tpu.model_zoo.factory import build_category_odise
+
+
+def test_accum_step_equals_mean_micro_grads():
+    labels = (("thing a",), ("thing b",), ("stuff c",))
+    model = build_category_odise("tiny", train_labels=labels,
+                                 with_clip_head=False, use_checkpoint=False,
+                                 slide_training=False)
+    B, S, T, K = 4, 64, 2, 2
+    img = np.random.RandomState(0).rand(B, S, S, 3).astype(np.float32)
+    text_raw = np.random.RandomState(1).randn(3, 16).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), img[:1], text_raw, labels,
+                           method=type(model).forward_train)
+    full = variables["params"]
+    params, frozen = partition_params(full)
+    cfg = CriterionConfig(num_classes=len(labels), num_points=64)
+    tx = make_optimizer(params, lr=1e-2, milestones=(100,), grad_clip=0.01)
+    opt_state = tx.init(params)
+
+    rng = jax.random.PRNGKey(7)
+    batch = {
+        "image": jnp.asarray(img),
+        "gt_labels": jnp.zeros((B, T), jnp.int32),
+        "gt_masks": jnp.asarray(
+            np.random.RandomState(2).rand(B, T, S, S) > 0.5, jnp.float32),
+        # equal per-micro target counts: the DDP num_masks mean then equals
+        # each micro's own count, isolating the accumulation machinery
+        "gt_valid": jnp.ones((B, T), bool),
+    }
+
+    step = make_category_train_step(
+        model, tx, cfg, text_embed_raw=jnp.asarray(text_raw), labels=labels,
+        frozen_params=frozen, accum_steps=2, donate=False)
+    state1, metrics = step(TrainState(0, params, opt_state), batch, rng)
+
+    # ---- manual: mean of per-micro grads, one update ----
+    def loss_fn(p, mb, r):
+        merged = merge_param_trees(frozen, p)
+        outputs = model.apply({"params": merged}, mb["image"],
+                              jnp.asarray(text_raw), labels,
+                              method=type(model).forward_train)
+        targets = {"labels": mb["gt_labels"], "masks": mb["gt_masks"],
+                   "valid": mb["gt_valid"]}
+        losses = set_criterion(outputs, targets, r, cfg,
+                               num_masks_override=jnp.float32(T * B / 2))
+        return sum(losses.values())
+
+    rngs = jax.random.split(rng, 2)
+    totals, grads = [], []
+    for i in range(2):
+        mb = {k: v[i * 2:(i + 1) * 2] for k, v in batch.items()}
+        t, g = jax.value_and_grad(loss_fn)(params, mb, rngs[i])
+        totals.append(t)
+        grads.append(g)
+    g_mean = jax.tree_util.tree_map(
+        lambda a, b: (a + b) / 2.0, grads[0], grads[1])
+    import optax
+
+    updates, _ = tx.update(g_mean, opt_state, params)
+    manual_params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(
+        float(metrics["total_loss"]), float((totals[0] + totals[1]) / 2),
+        rtol=2e-5)
+    flat1 = jax.tree_util.tree_leaves(state1.params)
+    flat2 = jax.tree_util.tree_leaves(manual_params)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        # atol covers f32 accumulation-order noise (scan vs python loop)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+    assert int(state1.step) == 1
