@@ -109,3 +109,39 @@ class OpenPanopticInference:
 
     def __call__(self, images):
         return self._fn(self.variables, images)
+
+
+class ShardedOpenPanopticInference(OpenPanopticInference):
+    """Data-parallel open-vocab inference over a mesh's ``data`` axis.
+
+    TPU-native counterpart of the reference's DDP-wrapped evaluation
+    (reference tools/train_net.py:126-135): instead of one process per GPU
+    each pulling from a sharded dataset, the caller groups same-bucket images
+    into microbatches of ``n_data = mesh.shape['data']``; the batch dim is
+    sharded over the data axis so one jitted forward runs every image on its
+    own device, and XLA keeps the (replicated) frozen towers local. Outputs
+    stay batch-sharded; per-image statistic kernels consume the slices.
+    """
+
+    def __init__(self, model, variables, vocabulary: OpenVocabulary, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        super().__init__(model, variables, vocabulary)
+        self.mesh = mesh
+        self.n_data = mesh.shape["data"]
+        self.batch_sharding = NamedSharding(mesh, P("data"))
+        replicated = NamedSharding(mesh, P())
+        v = vocabulary
+
+        def fn(variables, images):
+            return model.apply(
+                variables, images, v.text_embed_raw, v.labels,
+                v.clip_text_embed, v.clip_labels, v.category_overlap,
+                method=type(model).forward_eval)
+
+        self._fn = jax.jit(fn, in_shardings=(replicated, self.batch_sharding),
+                           out_shardings=self.batch_sharding)
+
+    def __call__(self, images):
+        images = jax.device_put(images, self.batch_sharding)
+        return self._fn(self.variables, images)

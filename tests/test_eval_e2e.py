@@ -105,3 +105,59 @@ def test_do_test_end_to_end(tmp_path):
     for key in ("mIoU", "PQ", "AP"):
         assert key in rh and np.isfinite(rh[key]), (key, rh)
     DatasetCatalog.remove(name)
+
+
+def test_do_test_zero_recompiles_across_ticks(tmp_path):
+    """Periodic in-training eval must not re-pay the model-forward compile:
+    tick 2 with updated params reuses every compiled graph (VERDICT r2 #2)."""
+    import jax
+    import jax.numpy as jnp
+
+    import train_net
+
+    from odise_tpu.model_zoo.factory import build_category_odise
+
+    name = "_e2e_ticks"
+    DatasetCatalog.remove(name)
+    records = _make_dataset(tmp_path)
+    DatasetCatalog.register(name, lambda: records)
+    MetadataCatalog.get(name).set(
+        ignore_label=255,
+        categories=[{"id": i, "isthing": int(i < 2), "name": l[0]}
+                    for i, l in enumerate(LABELS)])
+
+    model = build_category_odise("tiny", train_labels=LABELS,
+                                 with_clip_head=False, use_checkpoint=False,
+                                 slide_training=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                           jnp.zeros((3, 16)), method=type(model).init_full)
+
+    cfg = ConfigDict(
+        dataloader=ConfigDict(
+            wrapper=ConfigDict(
+                labels=[list(l) for l in LABELS],
+                dataset_name=name,
+                semantic_on=True, panoptic_on=True, instance_on=True,
+            ),
+            eval_short_side=64,
+            eval_max_size=128,
+        ),
+    )
+    # fresh caches for this test
+    train_net.do_test._vocab_cache = {}
+    train_net.do_test._infer_cache = {}
+
+    train_net.do_test(cfg, model, variables)
+    (ikey, infer), = train_net.do_test._infer_cache.items()
+    assert ikey[0] == name
+    n_compiles_tick1 = infer._fn._cache_size()
+    assert n_compiles_tick1 >= 1
+
+    # tick 2: same shapes, different (updated) parameter values
+    variables2 = jax.tree_util.tree_map(lambda x: x + 0.01, variables)
+    r2 = train_net.do_test(cfg, model, variables2)
+    assert train_net.do_test._infer_cache[ikey] is infer  # object reused
+    assert infer._fn._cache_size() == n_compiles_tick1  # zero new compiles
+    assert infer.variables is variables2  # updated params actually used
+    assert r2["main"]["images"] == 2
+    DatasetCatalog.remove(name)
