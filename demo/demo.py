@@ -89,6 +89,11 @@ def colorize(pan_seg: np.ndarray, seed: int = 7) -> np.ndarray:
 def main():
     args = parse_args()
     import jax
+
+    if os.environ.get("ODISE_TPU_FORCE_CPU"):
+        # the ambient sitecustomize re-selects the TPU relay even when
+        # JAX_PLATFORMS=cpu is exported; pin via config for local testing
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from PIL import Image
 
