@@ -142,6 +142,17 @@ class PoolingCLIPHead(nn.Module):
         [K] 1 where the test category overlaps the training label set.
         """
         mask_embed = self.get_mask_embed(images, pred_masks)
+        return self.ensemble(mask_embed, pred_open_logits, text_embed, labels,
+                             category_overlapping_mask)
+
+    def ensemble(self, mask_embed, pred_open_logits, text_embed,
+                 labels: Tuple[Tuple[str, ...], ...],
+                 category_overlapping_mask: jnp.ndarray) -> jnp.ndarray:
+        """Vocabulary-dependent tail of ``__call__``: cosine MaskCLIP logits
+        + alpha/beta seen/novel geometric ensemble. ``mask_embed`` comes from
+        ``get_mask_embed`` — the expensive, vocabulary-INDEPENDENT part —
+        letting callers compile the CLIP tower once per image shape and this
+        method (tiny [B,Q,768]x[K,768] matmuls) once per vocabulary."""
         # MaskCLIP pred_logits (reference clip.py:340-350)
         me = l2_normalize(mask_embed)
         te = l2_normalize(text_embed)
@@ -285,20 +296,61 @@ class CategoryODISE(nn.Module):
         Returns:
           (mask_cls [B, Q, K+1] log-probs-like scores, mask_pred [B, Q, H, W]).
         """
+        trunk = self.forward_eval_trunk(images)
+        mask_cls = self.forward_eval_head(
+            trunk, text_embed_raw, labels, clip_text_embed, clip_labels,
+            category_overlap)
+        return mask_cls, trunk["mask_pred"]
+
+    def forward_eval_trunk(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Vocabulary-INDEPENDENT eval computation: SD backbone + mask
+        decoder + (optional) CLIP visual tower + mask upsample.
+
+        This is where all the FLOPs are, and none of it depends on the test
+        vocabulary — so one compiled trunk per image shape serves every
+        task/vocabulary (the reference pays zero compile anywhere, see
+        odise.py:282-331; the TPU-native answer is to compile the expensive
+        part once and re-bind vocabularies through the cheap
+        ``forward_eval_head``).
+        """
         outputs = self.forward_features(images, training=False)
+        trunk = {
+            "mask_embed": outputs["mask_embed"],
+            "logit_scale": outputs["logit_scale"],
+        }
+        mask_pred = outputs["pred_masks"]
+        if self.clip_head is not None:
+            trunk["clip_mask_embed"] = self.clip_head.get_mask_embed(
+                images, mask_pred)
+        B, Q = mask_pred.shape[:2]
+        H, W = images.shape[1:3]
+        trunk["mask_pred"] = jax.image.resize(
+            mask_pred.astype(jnp.float32), (B, Q, H, W), method="bilinear")
+        return trunk
+
+    def forward_eval_head(
+        self,
+        trunk: Dict[str, jnp.ndarray],
+        text_embed_raw: jnp.ndarray,
+        labels: Tuple[Tuple[str, ...], ...],
+        clip_text_embed: Optional[jnp.ndarray] = None,
+        clip_labels: Optional[Tuple[Tuple[str, ...], ...]] = None,
+        category_overlap: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Vocabulary-DEPENDENT eval tail: text projection, cosine logits,
+        CLIP-head ensembling. [B,Q,C]x[K,C] matmuls only — compiles in
+        seconds, one graph per (vocabulary, image bucket)."""
         cat = self.category_head(text_embed_raw)
         pred_logits = cal_pred_logits(
-            outputs["mask_embed"], cat["text_embed"], cat["null_embed"],
-            outputs["logit_scale"], labels)
-
-        mask_pred = outputs["pred_masks"]
+            trunk["mask_embed"], cat["text_embed"], cat["null_embed"],
+            trunk["logit_scale"], labels)
         mask_cls = pred_logits
 
         if self.clip_head is not None and clip_text_embed is not None:
             # no-bg path (reference odise.py:298-323)
             pred_open_logits = pred_logits[..., :-1]
-            open_logits = self.clip_head(
-                images, mask_pred, pred_open_logits, clip_text_embed,
+            open_logits = self.clip_head.ensemble(
+                trunk["clip_mask_embed"], pred_open_logits, clip_text_embed,
                 clip_labels, category_overlap)
             probs = jax.nn.softmax(mask_cls.astype(jnp.float32), axis=-1)
             bg_prob = probs[..., -1:]
@@ -306,12 +358,7 @@ class CategoryODISE(nn.Module):
             class_probs = jax.nn.softmax(open_logits, axis=-1)
             mask_cls = jnp.log(
                 jnp.concatenate([class_probs * fg_prob, bg_prob], axis=-1) + 1e-8)
-
-        B, Q = mask_pred.shape[:2]
-        H, W = images.shape[1:3]
-        mask_pred = jax.image.resize(mask_pred.astype(jnp.float32), (B, Q, H, W),
-                                     method="bilinear")
-        return mask_cls, mask_pred
+        return mask_cls
 
 
 class CaptionODISE(nn.Module):
@@ -385,24 +432,50 @@ class CaptionODISE(nn.Module):
                      clip_text_embed=None, clip_labels=None, category_overlap=None):
         """Open-vocab eval: binary fg/bg score + CLIP-head open logits
         (reference odise.py:539-618)."""
+        trunk = self.forward_eval_trunk(images)
+        mask_cls = self.forward_eval_head(
+            trunk, text_embed_raw, labels, clip_text_embed, clip_labels,
+            category_overlap)
+        return mask_cls, trunk["mask_pred"]
+
+    def forward_eval_trunk(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Vocabulary-independent eval computation (see
+        CategoryODISE.forward_eval_trunk); also carries the binary (fg, bg)
+        ``pred_logits`` of the num_classes=1 predictor."""
         outputs = self.forward_features(images, training=False)
-        # binary classification from pred_logits (fg, bg) (odise.py:428-430)
         mask_pred = outputs["pred_masks"]
-        # CaptionODISE's predictor is configured with num_classes=1, so
-        # pred_logits is [B, Q, 2] = (fg, bg).
-        binary = outputs["pred_logits"]
+        trunk = {
+            "mask_embed": outputs["mask_embed"],
+            "logit_scale": outputs["logit_scale"],
+            # binary classification from pred_logits (fg, bg) (odise.py:428-430)
+            "pred_logits": outputs["pred_logits"],
+        }
+        if self.clip_head is not None:
+            trunk["clip_mask_embed"] = self.clip_head.get_mask_embed(
+                images, mask_pred)
+        B, Q = mask_pred.shape[:2]
+        H, W = images.shape[1:3]
+        trunk["mask_pred"] = jax.image.resize(
+            mask_pred.astype(jnp.float32), (B, Q, H, W), method="bilinear")
+        return trunk
+
+    def forward_eval_head(self, trunk, text_embed_raw, labels,
+                          clip_text_embed=None, clip_labels=None,
+                          category_overlap=None) -> jnp.ndarray:
+        """Vocabulary-dependent eval tail (see CategoryODISE counterpart)."""
+        binary = trunk["pred_logits"]
         word = self.word_head(text_embed_raw[None])  # project vocab like words
         word_embed = word["word_embed"][0]
         # cosine open logits with the projected vocabulary
-        me = l2_normalize(outputs["mask_embed"])
+        me = l2_normalize(trunk["mask_embed"])
         te = l2_normalize(word_embed)
-        open_logits = outputs["logit_scale"] * jnp.einsum("bqc,kc->bqk", me, te)
+        open_logits = trunk["logit_scale"] * jnp.einsum("bqc,kc->bqk", me, te)
         open_logits = ensemble_logits_with_labels(open_logits, labels, "max")
 
         if self.clip_head is not None and clip_text_embed is not None:
-            open_logits = self.clip_head(
-                images, mask_pred, open_logits, clip_text_embed, clip_labels,
-                category_overlap)
+            open_logits = self.clip_head.ensemble(
+                trunk["clip_mask_embed"], open_logits, clip_text_embed,
+                clip_labels, category_overlap)
 
         probs = jax.nn.softmax(binary.astype(jnp.float32), axis=-1)
         bg_prob = probs[..., -1:]
@@ -410,12 +483,7 @@ class CaptionODISE(nn.Module):
         class_probs = jax.nn.softmax(open_logits.astype(jnp.float32), axis=-1)
         mask_cls = jnp.log(
             jnp.concatenate([class_probs * fg_prob, bg_prob], axis=-1) + 1e-8)
-
-        B, Q = mask_pred.shape[:2]
-        H, W = images.shape[1:3]
-        mask_pred = jax.image.resize(mask_pred.astype(jnp.float32), (B, Q, H, W),
-                                     method="bilinear")
-        return mask_cls, mask_pred
+        return mask_cls
 
 
 class CLIPOpenClassEmbed(nn.Module):

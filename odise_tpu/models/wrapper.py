@@ -86,11 +86,44 @@ def build_open_vocabulary(
     )
 
 
+# One jitted vocabulary-independent trunk per model object, shared by every
+# OpenPanopticInference built on it: task 2..N on the same image bucket
+# compile NOTHING but their tiny vocabulary heads. (The reference pays zero
+# compile anywhere — reference odise/evaluation/evaluator.py:30-149; this is
+# the XLA answer: compile the expensive part once per shape, re-bind
+# vocabularies through seconds-to-compile heads.)
+_TRUNK_JITS = {}
+
+
+def _trunk_jit(model, sharding_key=None, in_shardings=None, out_shardings=None):
+    key = (id(model), sharding_key)
+    hit = _TRUNK_JITS.get(key)
+    # the stored strong model reference guards against id() reuse after GC
+    if hit is not None and hit[0] is model:
+        return hit[1]
+
+    def trunk_fn(variables, images):
+        return model.apply(variables, images,
+                           method=type(model).forward_eval_trunk)
+
+    kw = {}
+    if in_shardings is not None:
+        kw["in_shardings"] = in_shardings
+    if out_shardings is not None:
+        kw["out_shardings"] = out_shardings
+    fn = jax.jit(trunk_fn, **kw)
+    _TRUNK_JITS[key] = (model, fn)
+    return fn
+
+
 class OpenPanopticInference:
     """Bind (model, variables, vocabulary) into a jitted eval callable.
 
     ``__call__(images [B,H,W,3] in [0,1])`` -> (mask_cls [B,Q,K+1],
-    mask_pred [B,Q,H,W]); one compiled graph per (vocabulary, image shape).
+    mask_pred [B,Q,H,W]). Two graphs: a vocabulary-independent trunk
+    (compiled once per (model, image shape), SHARED across instances — so N
+    vocabularies cost one trunk compile) and a per-vocabulary head of tiny
+    [B,Q,C]x[K,C] matmuls.
     """
 
     def __init__(self, model, variables, vocabulary: OpenVocabulary):
@@ -98,17 +131,26 @@ class OpenPanopticInference:
         self.variables = variables
         self.vocabulary = vocabulary
         v = vocabulary
+        self._trunk = _trunk_jit(model)
 
-        def fn(variables, images):
+        def head_fn(variables, trunk, text_embed_raw, clip_text_embed,
+                    category_overlap):
             return model.apply(
-                variables, images, v.text_embed_raw, v.labels,
-                v.clip_text_embed, v.clip_labels, v.category_overlap,
-                method=type(model).forward_eval)
+                variables, trunk, text_embed_raw, v.labels,
+                clip_text_embed, v.clip_labels, category_overlap,
+                method=type(model).forward_eval_head)
 
-        self._fn = jax.jit(fn)
+        self._head = jax.jit(head_fn)
 
     def __call__(self, images):
-        return self._fn(self.variables, images)
+        trunk = self._trunk(self.variables, images)
+        v = self.vocabulary
+        # the upsampled mask_pred is not a head input — keep the big buffer
+        # out of the head call
+        head_in = {k: t for k, t in trunk.items() if k != "mask_pred"}
+        mask_cls = self._head(self.variables, head_in, v.text_embed_raw,
+                              v.clip_text_embed, v.category_overlap)
+        return mask_cls, trunk["mask_pred"]
 
 
 class ShardedOpenPanopticInference(OpenPanopticInference):
@@ -133,15 +175,32 @@ class ShardedOpenPanopticInference(OpenPanopticInference):
         replicated = NamedSharding(mesh, P())
         v = vocabulary
 
-        def fn(variables, images):
-            return model.apply(
-                variables, images, v.text_embed_raw, v.labels,
-                v.clip_text_embed, v.clip_labels, v.category_overlap,
-                method=type(model).forward_eval)
+        # trunk shared across vocabularies on an EQUAL mesh (jax.Mesh
+        # equality is by devices + axis names, so per-task re-created meshes
+        # still hit the same cache entry). Only the INPUTS are pinned
+        # (images batch-sharded, params replicated); GSPMD propagates the
+        # batch sharding through to every (non-scalar) output, and the head
+        # inherits its input shardings from the actual trunk-output arrays.
+        sharding_key = ("data_parallel", tuple(mesh.shape.items()),
+                        tuple(d.id for d in mesh.devices.flat))
+        self._trunk = _trunk_jit(
+            model, sharding_key=sharding_key,
+            in_shardings=(replicated, self.batch_sharding))
 
-        self._fn = jax.jit(fn, in_shardings=(replicated, self.batch_sharding),
-                           out_shardings=self.batch_sharding)
+        def head_fn(variables, trunk, text_embed_raw, clip_text_embed,
+                    category_overlap):
+            return model.apply(
+                variables, trunk, text_embed_raw, v.labels,
+                clip_text_embed, v.clip_labels, category_overlap,
+                method=type(model).forward_eval_head)
+
+        self._head = jax.jit(head_fn)
 
     def __call__(self, images):
         images = jax.device_put(images, self.batch_sharding)
-        return self._fn(self.variables, images)
+        trunk = self._trunk(self.variables, images)
+        v = self.vocabulary
+        head_in = {k: t for k, t in trunk.items() if k != "mask_pred"}
+        mask_cls = self._head(self.variables, head_in, v.text_embed_raw,
+                              v.clip_text_embed, v.category_overlap)
+        return mask_cls, trunk["mask_pred"]

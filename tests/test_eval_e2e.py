@@ -150,14 +150,17 @@ def test_do_test_zero_recompiles_across_ticks(tmp_path):
     train_net.do_test(cfg, model, variables)
     (ikey, infer), = train_net.do_test._infer_cache.items()
     assert ikey[0] == name
-    n_compiles_tick1 = infer._fn._cache_size()
-    assert n_compiles_tick1 >= 1
+    n_trunk_1 = infer._trunk._cache_size()
+    n_head_1 = infer._head._cache_size()
+    assert n_trunk_1 >= 1 and n_head_1 >= 1
 
     # tick 2: same shapes, different (updated) parameter values
     variables2 = jax.tree_util.tree_map(lambda x: x + 0.01, variables)
     r2 = train_net.do_test(cfg, model, variables2)
     assert train_net.do_test._infer_cache[ikey] is infer  # object reused
-    assert infer._fn._cache_size() == n_compiles_tick1  # zero new compiles
+    # zero new compiles on either graph
+    assert infer._trunk._cache_size() == n_trunk_1
+    assert infer._head._cache_size() == n_head_1
     assert infer.variables is variables2  # updated params actually used
     assert r2["main"]["images"] == 2
     DatasetCatalog.remove(name)

@@ -134,3 +134,53 @@ def test_eager_init_with_remat_then_jit_apply():
                                     method=type(model).encode_vocab))
     out = enc(variables, jnp.zeros((2, 77), jnp.int32))
     assert out.shape == (2, 16)
+
+
+def test_trunk_head_split_matches_fused_forward_eval(model_and_vars):
+    """The trunk/head split (compile the expensive vocabulary-independent
+    part once, re-bind vocabularies through a tiny head) must reproduce the
+    fused forward_eval exactly — incl. the CLIP-head ensemble."""
+    model, variables = model_and_vars
+    test_labels = [["cat", "kitty"], ["zebra"], ["grass"]]
+    vocab = build_open_vocabulary(model, variables, test_labels,
+                                  train_labels=TRAIN_LABELS)
+    img = jnp.asarray(
+        np.random.RandomState(3).rand(1, 64, 64, 3), jnp.float32)
+
+    fused_cls, fused_pred = model.apply(
+        variables, img, vocab.text_embed_raw, vocab.labels,
+        vocab.clip_text_embed, vocab.clip_labels, vocab.category_overlap,
+        method=type(model).forward_eval)
+
+    split_cls, split_pred = OpenPanopticInference(model, variables, vocab)(img)
+    np.testing.assert_allclose(np.asarray(split_cls), np.asarray(fused_cls),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(split_pred), np.asarray(fused_pred),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_trunk_shared_across_vocabularies(model_and_vars):
+    """Vocabulary 2..N on the same image shape must compile ZERO new trunk
+    graphs — only its own tiny head (the full-eval-suite compile budget fix:
+    6 tasks share one trunk per bucket)."""
+    model, variables = model_and_vars
+    img = jnp.full((1, 64, 64, 3), 0.25)
+
+    vocab_a = build_open_vocabulary(
+        model, variables, [["cat"], ["zebra"], ["grass"]],
+        train_labels=TRAIN_LABELS)
+    infer_a = OpenPanopticInference(model, variables, vocab_a)
+    infer_a(img)
+    n_trunk = infer_a._trunk._cache_size()
+    assert n_trunk >= 1
+
+    # different vocabulary AND different category count -> head recompiles,
+    # trunk must not
+    vocab_b = build_open_vocabulary(
+        model, variables, [["dog", "puppy"], ["sky"]],
+        train_labels=TRAIN_LABELS)
+    infer_b = OpenPanopticInference(model, variables, vocab_b)
+    mc, _ = infer_b(img)
+    assert infer_b._trunk is infer_a._trunk
+    assert infer_a._trunk._cache_size() == n_trunk  # zero new trunk compiles
+    assert mc.shape[-1] == 3  # K=2 + null
