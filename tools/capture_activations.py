@@ -93,6 +93,23 @@ def capture_activations(model, variables, img: np.ndarray) -> dict:
     out = model.apply(variables, img, False, method=type(model).forward_features)
     for k in ("pred_logits", "pred_masks", "mask_embed", "logit_scale"):
         captures[f"head_{k}"] = np.asarray(out[k], np.float32)
+
+    # CLIP-head ensembled open logits on a deterministic synthetic
+    # vocabulary (reference odise.py:1422-1542; torch side: run
+    # PoolingCLIPHead with the same text matrix and save as clip_mask_cls)
+    if getattr(model, "clip_head", None) is not None:
+        K = 4
+        labels = tuple((f"v{i}",) for i in range(K))
+        clip_dim = model.category_head.clip_dim
+        text_raw = np.linspace(-1.0, 1.0, K * clip_dim,
+                               dtype=np.float32).reshape(K, clip_dim)
+        clip_text = np.cos(text_raw).astype(np.float32)
+        overlap = jnp.asarray([1, 0] * (K // 2), jnp.int32)
+        mask_cls, _ = model.apply(
+            variables, img, jnp.asarray(text_raw), labels,
+            jnp.asarray(clip_text), labels, overlap,
+            method=type(model).forward_eval)
+        captures["clip_mask_cls"] = np.asarray(mask_cls, np.float32)
     return captures
 
 

@@ -52,6 +52,8 @@ TOLERANCES = [
     ("tap_", 2e-2),
     ("backbone_", 3e-2),
     ("head_", 5e-2),
+    # CLIP-head ensembled log-probs: error compounds through two softmaxes
+    ("clip_", 5e-2),
 ]
 
 
@@ -120,6 +122,142 @@ def compare_panoptic(ours: np.ndarray, ref: np.ndarray,
     return frac >= min_agreement
 
 
+def metrics_self_check() -> bool:
+    """Device-statistic eval path == host postprocessing path on metrics.
+
+    Covers the one-command check end-to-end THROUGH THE METRICS, not just
+    activations (the real-weights workflow then validates PQ/mIoU/AP against
+    the reference demo's numbers directly). To make the comparison
+    NON-TRIVIAL with random weights, the ground truth is generated FROM the
+    model's own fused predictions — both paths must then score the same
+    near-perfect numbers; with unrelated GT every metric is 0.0 on both
+    sides and the equality proves nothing.
+    """
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    import train_net
+
+    from odise_tpu.config import ConfigDict
+    from odise_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+    from odise_tpu.data.transforms import id2rgb
+    from odise_tpu.model_zoo.factory import build_category_odise
+    from odise_tpu.models.inference import panoptic_inference, semantic_inference
+    from odise_tpu.models.wrapper import (OpenPanopticInference,
+                                          build_open_vocabulary)
+
+    labels = (("cat",), ("dog",), ("grass",))
+    thing = np.array([True, True, False])
+    model = build_category_odise("tiny", train_labels=labels,
+                                 with_clip_head=False,
+                                 use_checkpoint=False,
+                                 slide_training=True)
+    # With random weights the 10 query masks overlap heavily, so the
+    # surviving-area rule (overlap_threshold=0.8) drops EVERY segment and
+    # PQ degenerates to 0/0 on both paths — vacuously equal. Disable it
+    # (do_test reads the threshold off the model) so fusion keeps every
+    # pixel-winning query and the prediction-derived GT scores PQ=100.
+    model = model.clone(overlap_threshold=0.0)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((3, 16)), method=type(model).init_full)
+    # At random init the null embed's cosine logit dominates every query
+    # (all labels == K -> fusion keeps nothing -> PQ degenerates to 0/0 on
+    # both paths, vacuously equal). Flip its sign so null loses instead:
+    # queries then classify as real categories and segments form.
+    import flax
+    flat = flax.traverse_util.flatten_dict(variables["params"])
+    flipped = {k: (-v if k[-1] == "null_embed" else v)
+               for k, v in flat.items()}
+    assert any(k[-1] == "null_embed" for k in flat)
+    variables = dict(variables,
+                     params=flax.traverse_util.unflatten_dict(flipped))
+    vocab = build_open_vocabulary(model, variables,
+                                  [list(l) for l in labels],
+                                  train_labels=labels, thing_mask=thing,
+                                  with_clip_head=False)
+    infer = OpenPanopticInference(model, variables, vocab)
+
+    with tempfile.TemporaryDirectory() as d:
+        records = []
+        rng = np.random.RandomState(0)
+        for i in range(2):
+            size = 64
+            img = rng.randint(0, 255, (size, size, 3), np.uint8)
+            img_path = os.path.join(d, f"img{i}.png")  # png: lossless
+            Image.fromarray(img).save(img_path)
+
+            # GT = the model's own predictions on this image
+            mask_cls, mask_pred = infer(
+                jnp.asarray(img[None], jnp.float32) / 255.0)
+            pan = panoptic_inference(mask_cls[0], mask_pred[0],
+                                     jnp.asarray(thing),
+                                     object_mask_threshold=0.0,
+                                     overlap_threshold=0.0)
+            pan_seg = np.asarray(pan.panoptic_seg)
+            seg_cat = np.asarray(pan.segment_category)
+            n_seg = int(pan.num_segments)
+            sem = np.asarray(
+                jnp.argmax(semantic_inference(mask_cls[0], mask_pred[0]),
+                           axis=0), np.uint8)
+
+            pan_path = os.path.join(d, f"pan{i}.png")
+            Image.fromarray(id2rgb(pan_seg.astype(np.uint32))).save(pan_path)
+            sem_path = os.path.join(d, f"sem{i}.png")
+            Image.fromarray(sem).save(sem_path)
+            records.append({
+                "file_name": img_path, "image_id": i,
+                "pan_seg_file_name": pan_path,
+                "sem_seg_file_name": sem_path,
+                "segments_info": [
+                    {"id": s + 1, "category_id": int(seg_cat[s]),
+                     "iscrowd": 0}
+                    for s in range(n_seg) if (pan_seg == s + 1).any()
+                ],
+            })
+        name = "_parity_selfcheck"
+        DatasetCatalog.remove(name)
+        DatasetCatalog.register(name, lambda: records)
+        MetadataCatalog.get(name).set(
+            ignore_label=255,
+            categories=[{"id": i, "isthing": int(thing[i]), "name": l[0]}
+                        for i, l in enumerate(labels)])
+
+        def cfg(device_stats):
+            return ConfigDict(dataloader=ConfigDict(
+                wrapper=ConfigDict(labels=[list(l) for l in labels],
+                                   dataset_name=name, semantic_on=True,
+                                   panoptic_on=True, instance_on=True),
+                eval_short_side=64, eval_max_size=128,
+                eval_device_stats=device_stats,
+            ))
+
+        dev = train_net.do_test(cfg(True), model, variables)["main"]
+        host = train_net.do_test(cfg(False), model, variables)["main"]
+        DatasetCatalog.remove(name)
+
+    ok = True
+    print(f"{'metric':16s} {'device-stat':>12s} {'host':>12s}  verdict")
+    for k in sorted(set(dev) & set(host)):
+        if not isinstance(dev[k], (int, float, np.floating)) \
+                or k in ("s_per_img", "host_fallback_images"):
+            continue
+        good = bool(np.isclose(dev[k], host[k], rtol=1e-5, atol=1e-6))
+        ok &= good
+        print(f"{k:16s} {dev[k]:12.4f} {host[k]:12.4f}  "
+              f"{'ok' if good else 'FAIL'}")
+    # prediction-derived GT: the scores must be non-trivially high or the
+    # equality above compared zeros
+    nontrivial = dev.get("PQ", 0.0) > 50.0 and dev.get("mIoU", 0.0) > 50.0
+    if not nontrivial:
+        print(f"metrics not non-trivial: PQ={dev.get('PQ')} "
+              f"mIoU={dev.get('mIoU')} — self-check would be vacuous")
+    return ok and nontrivial
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", default="", help="reference-side capture .npz")
@@ -130,6 +268,9 @@ def main():
     ap.add_argument("--odise-ckpt", default="")
     ap.add_argument("--self-check", action="store_true",
                     help="random-weight self-consistency (no ref needed)")
+    ap.add_argument("--clip-head", action="store_true",
+                    help="include the PoolingCLIPHead (captures "
+                         "clip_mask_cls); always on under --self-check")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -151,7 +292,8 @@ def main():
 
     model, variables = build_with_weights(
         scale, sd_ckpt=args.sd_ckpt, clip_ckpt=args.clip_ckpt,
-        odise_ckpt=args.odise_ckpt)
+        odise_ckpt=args.odise_ckpt,
+        with_clip_head=args.clip_head or args.self_check)
     ours = capture_activations(model, variables, img)
 
     if args.self_check:
@@ -171,6 +313,7 @@ def main():
         pan_a = panoptic_map(model, variables, img)
         pan_b = panoptic_map(model, {"params": loaded}, img)
         ok &= compare_panoptic(pan_a, pan_b, min_agreement=1.0)
+        ok &= metrics_self_check()
         print("self-check:", "PASS" if ok else "FAIL")
         sys.exit(0 if ok else 1)
 
