@@ -35,11 +35,19 @@ class CriterionConfig:
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75
     deep_supervision: bool = True
+    # lax.top_k over the 3x-oversampled candidates is a full sort on TPU;
+    # approx_max_k is the hardware-friendly partial reduction. The selected
+    # points only parameterize a Monte-Carlo estimate of the mask losses
+    # (reference criterion.py:168-176 samples them randomly to begin with),
+    # so approximate selection changes nothing about the loss semantics.
+    # Exact mode remains for bit-parity studies.
+    approx_topk: bool = False
 
 
 def get_uncertain_point_coords_with_randomness(
     mask_logits: jnp.ndarray, rng: jax.Array, num_points: int,
-    oversample_ratio: float, importance_sample_ratio: float) -> jnp.ndarray:
+    oversample_ratio: float, importance_sample_ratio: float,
+    approx_topk: bool = False) -> jnp.ndarray:
     """PointRend importance sampling (used at criterion.py:168-176).
 
     mask_logits: [N, h, w]. Returns [N, P, 2] xy in [0, 1]: the most uncertain
@@ -54,7 +62,11 @@ def get_uncertain_point_coords_with_randomness(
     uncertainty = -jnp.abs(logits)
     n_unc = int(importance_sample_ratio * num_points)
     n_rand = num_points - n_unc
-    _, idx = jax.lax.top_k(uncertainty, n_unc)
+    if approx_topk:
+        _, idx = jax.lax.approx_max_k(uncertainty, n_unc,
+                                      recall_target=0.95)
+    else:
+        _, idx = jax.lax.top_k(uncertainty, n_unc)
     unc_pts = jnp.take_along_axis(cand, idx[..., None], axis=1)
     if n_rand > 0:
         rand_pts = jax.random.uniform(k2, (N, n_rand, 2))
@@ -88,7 +100,8 @@ def _one_layer_losses(pred_logits, pred_masks, targets, matched, rng, cfg,
 
     pts = get_uncertain_point_coords_with_randomness(
         jax.lax.stop_gradient(flat_pred), rng, cfg.num_points,
-        cfg.oversample_ratio, cfg.importance_sample_ratio)
+        cfg.oversample_ratio, cfg.importance_sample_ratio,
+        approx_topk=cfg.approx_topk)
     pred_pts = point_sample(flat_pred[..., None], pts)[..., 0]   # [BT, P]
     gt_pts = point_sample(flat_gt[..., None].astype(jnp.float32),
                           jax.lax.stop_gradient(pts))[..., 0]

@@ -53,7 +53,12 @@ def grid_sample(im: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = False)
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
 
-    if C == 1:
+    # The quad-row packing trades a 4x table materialization (4*H*W*4B per
+    # map) for 4x fewer gather transactions. That wins while the table is
+    # small next to the gather (pred masks at <=512^2); at 1024^2 GT masks
+    # the 16 MB/map table build dominates the ~12544-point gather, so large
+    # maps keep the plain 4-corner gather.
+    if C == 1 and H * W <= 512 * 512:
         def cw(xi, yi, w):
             valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
             return w * valid.astype(im.dtype)

@@ -73,6 +73,28 @@ def test_set_criterion_runs_and_perfect_prediction_is_lower():
     assert float(losses2["loss_ce"]) < float(losses["loss_ce"])
 
 
+def test_set_criterion_approx_topk():
+    """approx_topk swaps the uncertainty top_k for approx_max_k (a TPU
+    partial reduction); the selected points still parameterize valid losses
+    — finite, same keys, same scale as the exact mode."""
+    pred_logits, pred_masks, gt_labels, gt_masks, gt_valid = _make_outputs_targets()
+    outputs = {"pred_logits": pred_logits, "pred_masks": pred_masks}
+    targets = {"labels": gt_labels, "masks": gt_masks, "valid": gt_valid}
+    exact = set_criterion(outputs, targets, jax.random.PRNGKey(0),
+                          CriterionConfig(num_classes=3, num_points=128,
+                                          deep_supervision=False))
+    approx = set_criterion(outputs, targets, jax.random.PRNGKey(0),
+                           CriterionConfig(num_classes=3, num_points=128,
+                                           deep_supervision=False,
+                                           approx_topk=True))
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert bool(jnp.isfinite(approx[k]))
+        # same Monte-Carlo estimate up to point-selection noise
+        assert abs(float(approx[k]) - float(exact[k])) \
+            <= 0.5 * abs(float(exact[k])) + 0.1
+
+
 def test_grounding_loss_single_device():
     rng = np.random.RandomState(0)
     B, Q, K, C = 2, 5, 3, 8

