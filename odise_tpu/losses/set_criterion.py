@@ -20,7 +20,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid_sample import point_sample
+from ..ops.grid_sample import point_sample, point_sample_packed_binary
 from .matcher import assign_from_cost, match_cost_matrix
 
 
@@ -103,8 +103,11 @@ def _one_layer_losses(pred_logits, pred_masks, targets, matched, rng, cfg,
         cfg.oversample_ratio, cfg.importance_sample_ratio,
         approx_topk=cfg.approx_topk)
     pred_pts = point_sample(flat_pred[..., None], pts)[..., 0]   # [BT, P]
-    gt_pts = point_sample(flat_gt[..., None].astype(jnp.float32),
-                          jax.lax.stop_gradient(pts))[..., 0]
+    # GT masks are binary: bit-plane-packed sampling is exact and turns the
+    # random access into a ~4 MB table instead of the ~80 MB float planes
+    # (12.8 -> ~2 ms/layer measured; see tools/bench_criterion.py)
+    gt_pts = point_sample_packed_binary(flat_gt.astype(jnp.float32),
+                                        jax.lax.stop_gradient(pts))
 
     bce = (jax.nn.softplus(-pred_pts) * gt_pts
            + jax.nn.softplus(pred_pts) * (1.0 - gt_pts)).mean(-1)

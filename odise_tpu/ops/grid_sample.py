@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["grid_sample", "point_sample"]
+__all__ = ["grid_sample", "point_sample", "point_sample_packed_binary"]
 
 
 def grid_sample(im: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
@@ -104,3 +104,79 @@ def point_sample(feat: jnp.ndarray, points: jnp.ndarray, align_corners: bool = F
     mask losses (reference criterion.py:147-197, matcher.py:96-156).
     """
     return grid_sample(feat, 2.0 * points - 1.0, align_corners=align_corners)
+
+
+def point_sample_packed_binary(masks: jnp.ndarray, points: jnp.ndarray,
+                               align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear-sample BINARY masks [N, H, W] at per-mask points [N, P, 2]
+    (xy in [0, 1]) -> [N, P] float32. Bit-exact with
+    ``point_sample(masks[..., None], points)[..., 0]`` for 0/1-valued masks.
+
+    Why: the criterion samples each GT mask at its own 12544 points per
+    decoder layer. Gathering from the dense [N, H, W] float planes is
+    random access into ~80 MB (measured 12.8 ms/layer at 1024^2, half the
+    criterion forward). Since GT is binary, all N masks pack into
+    ceil(N/32) uint32 bit-planes — a 4 MB table at 1024^2 — and the four
+    bilinear corners pack into one quad row (same trick as the deformable
+    attention gather), so one 16-byte row fetch serves a (mask, point)
+    sample: ~4x fewer transactions from a ~20x smaller table. The corner
+    values are exactly 0/1 so the f32 bilinear weighting is unchanged.
+    """
+    N, H, W = masks.shape
+    P = points.shape[1]
+    W32 = -(-N // 32)
+
+    # mirror point_sample's exact fp sequence (2p-1 then the grid_sample
+    # mapping) so packed == dense bit-for-bit, not just to ~1e-6
+    gx = 2.0 * points[..., 0] - 1.0
+    gy = 2.0 * points[..., 1] - 1.0
+    if align_corners:
+        x = (gx + 1.0) * 0.5 * (W - 1)
+        y = (gy + 1.0) * 0.5 * (H - 1)
+    else:
+        x = ((gx + 1.0) * W - 1.0) * 0.5
+        y = ((gy + 1.0) * H - 1.0) * 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def cw(xi, yi, w):
+        valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        return w * valid.astype(jnp.float32)
+
+    # corner order matches the roll offsets {0, 1, W, W+1}
+    wgt = jnp.stack([cw(x0, y0, wx0 * wy0), cw(x0 + 1, y0, wx1 * wy0),
+                     cw(x0, y0 + 1, wx0 * wy1), cw(x0 + 1, y0 + 1, wx1 * wy1)],
+                    axis=-1)  # [N, P, 4]
+
+    # bit-plane packing: word w, bit b <- mask (w*32 + b)
+    bit = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    pad = W32 * 32 - N
+    mb = (masks > 0.5).reshape(N, H * W)
+    if pad:
+        mb = jnp.concatenate(
+            [mb, jnp.zeros((pad, H * W), mb.dtype)], axis=0)
+    planes = jnp.sum(mb.reshape(W32, 32, H * W).astype(jnp.uint32)
+                     * bit[None, :, None], axis=1)          # [W32, HW]
+    quad = jnp.stack([planes,
+                      jnp.roll(planes, -1, axis=1),
+                      jnp.roll(planes, -W, axis=1),
+                      jnp.roll(planes, -(W + 1), axis=1)], axis=-1)
+    quad = jnp.transpose(quad, (1, 0, 2)).reshape(H * W, W32 * 4)
+
+    base = (y0.astype(jnp.int32) * W + x0.astype(jnp.int32)) % (H * W)
+    base = jnp.where(base < 0, base + H * W, base)           # [N, P]
+    rows = jnp.take(quad, base.reshape(-1), axis=0)          # [N*P, W32*4]
+    rows = rows.reshape(N, P, W32, 4)
+    if W32 == 1:
+        word = rows[:, :, 0, :]                              # [N, P, 4]
+    else:
+        word = jnp.take_along_axis(
+            rows, (jnp.arange(N) // 32)[:, None, None, None].astype(jnp.int32),
+            axis=2)[:, :, 0, :]                              # [N, P, 4]
+    bits = (word >> (jnp.arange(N, dtype=jnp.uint32) % 32)[:, None, None]) \
+        & jnp.uint32(1)
+    return jnp.sum(bits.astype(jnp.float32) * wgt, axis=-1)  # [N, P]

@@ -296,6 +296,27 @@ def test_grid_sample_quad_c1_matches_general_path():
         np.testing.assert_allclose(np.asarray(f), np.asarray(g), atol=1e-6)
 
 
+def test_point_sample_packed_binary_matches_dense():
+    """Bit-plane-packed binary sampling must be exact vs the dense float
+    path: the corner values are exactly 0/1 so f32 bilinear weighting is
+    unchanged. Cover one-word (N<=32) and multi-word (N>32) packing,
+    out-of-range points (zero padding), and both align conventions."""
+    from odise_tpu.ops.grid_sample import (point_sample,
+                                           point_sample_packed_binary)
+
+    rng = np.random.RandomState(13)
+    for N in (20, 40):
+        masks = (rng.rand(N, 37, 53) > 0.6).astype(np.float32)
+        pts = (rng.rand(N, 300, 2) * 1.4 - 0.2).astype(np.float32)
+        for ac in (False, True):
+            dense = point_sample(jnp.asarray(masks)[..., None],
+                                 jnp.asarray(pts), align_corners=ac)[..., 0]
+            packed = point_sample_packed_binary(
+                jnp.asarray(masks), jnp.asarray(pts), align_corners=ac)
+            np.testing.assert_allclose(np.asarray(packed), np.asarray(dense),
+                                       rtol=1e-6, atol=1e-6)
+
+
 def test_grid_sample_c1_large_map_plain_path():
     """Single-channel maps above the 512^2 quad-table threshold take the
     plain 4-corner gather (the quad table build would dominate at GT-mask

@@ -82,6 +82,9 @@ def main():
     timed(lambda m, c: jnp.sum(point_sample(
         m.astype(jnp.bfloat16)[..., None], c)),
           (flat_gt, pts), f"point_sample GT1024 bf16@final {P}")
+    from odise_tpu.ops.grid_sample import point_sample_packed_binary
+    timed(lambda m, c: jnp.sum(point_sample_packed_binary(m, c)),
+          (flat_gt, pts), f"packed-binary GT1024@final {P}")
     for approx in (False, True):
         timed(lambda m, k, a=approx: jnp.sum(
             get_uncertain_point_coords_with_randomness(

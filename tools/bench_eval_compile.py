@@ -94,12 +94,14 @@ def main():
     if not args.skip_heads:
         head_in = {k: v for k, v in trunk.items() if k != "mask_pred"}
         for task, k, k_flat in TASKS:
-            labels = tuple((f"c{i}",) for i in range(k))
-            # worst-case synonym grouping: distribute the extra synonyms
+            # distribute the k_flat synonyms over k categories (extra may
+            # exceed k, e.g. pas21: 48 synonyms over 21 categories)
             extra = k_flat - k
+            counts = [1 + extra // k + (1 if i < extra % k else 0)
+                      for i in range(k)]
+            assert sum(counts) == k_flat
             labels = tuple(
-                tuple(f"c{i}s{j}" for j in range(2 if i < extra else 1))
-                for i in range(k))
+                tuple(f"c{i}s{j}" for j in range(counts[i])) for i in range(k))
             text_raw = jnp.zeros((k_flat, 768), jnp.float32)
             clip_text = jnp.zeros((k_flat, 768), jnp.float32)
             overlap = jnp.zeros((k,), jnp.int32)
