@@ -322,13 +322,9 @@ def ms_deform_attn(
         return _reference_impl(value, spatial_shapes, sampling_locations,
                                attention_weights)
     if impl == "pallas":
-        # experimental; falls back to fused while Mosaic gather is limited
-        try:
-            from .pallas.ms_deform_attn_kernel import ms_deform_attn_pallas
+        # hybrid split with a VMEM-resident Pallas gather for large levels
+        from .pallas.ms_deform_attn_kernel import ms_deform_attn_pallas
 
-            return ms_deform_attn_pallas(value, spatial_shapes,
-                                         sampling_locations, attention_weights)
-        except NotImplementedError:
-            return _fused_impl(value, spatial_shapes, sampling_locations,
-                               attention_weights)
+        return ms_deform_attn_pallas(value, tuple(spatial_shapes),
+                                     sampling_locations, attention_weights)
     raise ValueError(f"unknown impl {impl!r}")

@@ -1,27 +1,34 @@
-"""Pallas TPU kernel (EXPERIMENTAL) for the deformable-attention gather.
+"""Pallas TPU kernel for the deformable-attention gather.
 
 The op is fundamentally gather-bound (SURVEY.md hard part #4: the reference
-solves it with a CUDA im2col kernel). This kernel keeps each (batch*head)
-value table resident in VMEM (~350 KB at ODISE shapes) and gathers with
-Mosaic's ``dynamic_gather``, with index/weight prep (bilinear corners,
-validity, attention fold-in) in plain fused XLA.
+solves it with a CUDA im2col kernel, ``ms_deform_im2col_cuda.cuh:242-928``).
+The XLA paths in ``ops/ms_deform_attn.py`` stream quad rows from HBM through
+XLA's gather unit; this kernel instead keeps one (batch*head) level table
+RESIDENT IN VMEM across all query tiles and serves each sample with a VMEM
+row load — no HBM transaction per sample at all.
 
-STATUS — blocked by current Mosaic limitations (kept as documentation and as
-the landing slot when support arrives):
-  * ``tpu.dynamic_gather`` requires index/output shapes to EQUAL the table
-    shape (element-wise take_along_axis) — worked around by tiling queries so
-    ``tile * corners == Lv``.
-  * index/data bitwidths must match — worked around by gathering in f32.
-  * FATAL: "Multiple source vregs along gather dimension" — the gather only
-    permutes *within one vreg* (8 sublanes / 128 lanes), so a 5k-row table
-    cannot be gathered at all. No formulation fixes this without per-row DMA
-    loops (latency-bound) or one-hot matmuls (FLOP-bound, measured worse).
+Design (``impl="pallas"`` routes large levels here, small levels keep the
+one-hot-matmul path — same split as ``impl="hybrid"``):
 
-The production path is therefore the XLA single-fused-gather implementation
-(`ops/ms_deform_attn.py`, impl="fused"): measured 2.7x faster than per-level
-gathers and within ~4x of the pure HBM streaming bound for the same bytes on
-v5e. ``ms_deform_attn_pallas`` raises NotImplementedError eagerly so callers
-fall back.
+  * The quad-row trick from the XLA path carries over: each table row is the
+    4 bilinear corners concatenated (``4*head_dim == 128`` — exactly one
+    vector register row), built with three cyclic rolls outside the kernel.
+  * Grid is ``(B*H, query_tiles)`` with the table block's index_map constant
+    in the tile coordinate, so Mosaic DMAs the table into VMEM once per
+    (batch, head) and revisits it for every tile (stride-8 level at 1024px:
+    16384 rows x 128 lanes x bf16 = 4 MB, well inside VMEM).
+  * Per tile, a scalar ``fori_loop`` copies ``tile*P`` dynamically-indexed
+    table rows into a VMEM scratch block (indices come from SMEM); then the
+    4 corner weights of every sample are expanded to the 128-lane row layout
+    with ONE tiny MXU matmul against a static [4, 128] corner-selector
+    matrix, the weighted rows are reduced over the P points, and the 4
+    corner sub-rows are folded — all fully vectorized.
+  * Backward is the XLA quad path's VJP via ``jax.custom_vjp`` (the two
+    forwards are mathematically identical, so the gradients agree; the
+    kernel targets the eval/encoder hot path).
+
+Numerics match the XLA quad path: f32 sampling locations / corner weights,
+value-dtype (bf16) row storage, f32 accumulation.
 """
 
 from __future__ import annotations
@@ -35,125 +42,180 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _prepare_indices_weights(spatial_shapes, sampling_locations,
-                             attention_weights):
-    """[B,Lq,H,L,P,2] locations -> flat row indices + folded weights.
+def _level_quad_table(v_bh_lvl: jnp.ndarray, w: int) -> jnp.ndarray:
+    """[BH, R, hd] level values -> [BH, R, 4*hd] neighbor-concat quad rows.
 
-    Returns idx [B,H,Lq,C] int32 (rows within one head's level-concat table)
-    and wgt [B,H,Lq,C] f32 (bilinear * validity * attention).
+    Corner order {+0, +1, +w, +w+1} (cyclic), identical to the XLA quad path
+    (ops/ms_deform_attn.py `_quad_impl`).
     """
-    B, Lq, H, L, P, _ = sampling_locations.shape
-    idx_parts = []
-    wgt_parts = []
-    offset = 0
-    for lvl, (h, w) in enumerate(spatial_shapes):
-        loc = sampling_locations[:, :, :, lvl].astype(jnp.float32)  # [B,Lq,H,P,2]
-        x = loc[..., 0] * w - 0.5
-        y = loc[..., 1] * h - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        a = attention_weights[:, :, :, lvl].astype(jnp.float32)
+    return jnp.concatenate([
+        v_bh_lvl,
+        jnp.roll(v_bh_lvl, -1, axis=1),
+        jnp.roll(v_bh_lvl, -w, axis=1),
+        jnp.roll(v_bh_lvl, -(w + 1), axis=1),
+    ], axis=-1)
+
+
+def _level_idx_w4(loc_lvl: jnp.ndarray, a_lvl: jnp.ndarray, h: int, w: int):
+    """Top-left flat row index (mod h*w, cyclic-roll semantics) and the four
+    folded corner weights (bilinear * validity * attention), matching the
+    XLA quad path bit-for-bit.
+
+    loc_lvl [B,Lq,H,P,2] in [0,1]; a_lvl [B,Lq,H,P].
+    Returns idx [B,Lq,H,P] int32, w4 [B,Lq,H,P,4] f32 (corner order
+    {+0, +1, +w, +w+1}).
+    """
+    loc = loc_lvl.astype(jnp.float32)
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    a = a_lvl.astype(jnp.float32)
+    corner_w = []
+    for dy in (0, 1):
         for dx in (0, 1):
-            for dy in (0, 1):
-                xi = x0 + dx
-                yi = y0 + dy
-                wgt = (1.0 - jnp.abs(x - xi)) * (1.0 - jnp.abs(y - yi))
-                valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
-                xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-                yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-                idx_parts.append(yi * w + xi + offset)
-                wgt_parts.append(wgt * valid.astype(wgt.dtype) * a)
-        offset += h * w
-    idx = jnp.stack(idx_parts, axis=-1).reshape(B, Lq, H, -1)
-    wgt = jnp.stack(wgt_parts, axis=-1).reshape(B, Lq, H, -1)
-    return idx.transpose(0, 2, 1, 3), wgt.transpose(0, 2, 1, 3)
+            xi = x0 + dx
+            yi = y0 + dy
+            wgt = (1.0 - jnp.abs(x - xi)) * (1.0 - jnp.abs(y - yi))
+            valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            corner_w.append(wgt * valid.astype(wgt.dtype) * a)
+    base = (y0.astype(jnp.int32) * w + x0.astype(jnp.int32)) % (h * w)
+    base = jnp.where(base < 0, base + h * w, base)
+    return base, jnp.stack(corner_w, axis=-1)
 
 
-def _make_kernel(T: int, C: int, hd: int):
-    def kernel(value_ref, idx_ref, wgt_ref, out_ref):
-        # Mosaic dynamic_gather requires data/index bitwidths to match:
-        # gather in f32 (indices are i32)
-        v = value_ref[0].astype(jnp.float32)  # [Lv_pad, hd], Lv_pad == T*C
-        idx = idx_ref[0]          # [T*C, 1] int32 (sublane-major, 1 lane)
-        wgt = wgt_ref[0]          # [T*C, 1] f32
-        idxb = jnp.broadcast_to(idx, (T * C, hd))      # lane broadcast
-        g = jnp.take_along_axis(v, idxb, axis=0, mode="promise_in_bounds")
-        g = g * jnp.broadcast_to(wgt.astype(jnp.float32), (T * C, hd))
-        # split sublanes (lane dim untouched) and reduce the corner axis
-        out_ref[0] = jnp.sum(g.reshape(T, C, hd), axis=1).astype(out_ref.dtype)
+def _make_level_kernel(QT: int, P: int, hd: int, unroll: int):
+    S = QT * P
+
+    def kernel(idx_ref, w4_ref, table_ref, out_ref, g_ref):
+        # idx_ref: SMEM [1, S] i32; w4_ref: VMEM [1, S, 4] f32
+        # table_ref: VMEM [1, R_pad, 4*hd]; g_ref: VMEM scratch [S, 4*hd]
+        def body(j, _):
+            g_ref[pl.ds(j, 1), :] = table_ref[0, pl.ds(idx_ref[0, j], 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, S, body, 0, unroll=unroll)
+
+        # corner-selector: E[c, lane] = 1 iff lane // hd == c; ONE tiny MXU
+        # matmul expands each sample's 4 corner weights to the 128-lane row
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * hd), 1) // hd
+        corner = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * hd), 0)
+        E = (lane_c == corner).astype(jnp.float32)
+        W = jnp.dot(w4_ref[0], E, preferred_element_type=jnp.float32)  # [S,128]
+
+        p = g_ref[:].astype(jnp.float32) * W
+        p = jnp.sum(p.reshape(QT, P, 4 * hd), axis=1)      # reduce points
+        out_ref[0] = (p[:, :hd] + p[:, hd:2 * hd]
+                      + p[:, 2 * hd:3 * hd] + p[:, 3 * hd:])  # fold corners
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "corners"))
-def _pallas_forward(value_bh, idx, wgt, tile, corners):
-    """value_bh [BH, Lv_pad, hd]; idx/wgt [BH, Lq_pad*C, 1] with
-    Lq_pad % tile == 0 and Lv_pad == tile*C."""
-    BH, Lv_pad, hd = value_bh.shape
-    C = corners
-    assert Lv_pad == tile * C, (Lv_pad, tile, C)
-    Lq_pad = idx.shape[1] // C
-    n_tiles = Lq_pad // tile
+@functools.partial(jax.jit, static_argnames=("q_tile", "unroll"))
+def _pallas_level_gather(table: jnp.ndarray, idx: jnp.ndarray,
+                         w4: jnp.ndarray, q_tile: int = 256,
+                         unroll: int = 8) -> jnp.ndarray:
+    """One level's gather+reduce. table [BH, R, 4*hd] (any dtype); idx
+    [BH, Lq, P] i32 (< R); w4 [BH, Lq, P, 4] f32. Returns [BH, Lq, hd] f32.
+    """
+    BH, R, four_hd = table.shape
+    hd = four_hd // 4
+    _, Lq, P = idx.shape
 
-    return pl.pallas_call(
-        _make_kernel(tile, C, hd),
+    # sublane alignment for the table block; extra rows are never indexed
+    r_pad = (-R) % 32
+    if r_pad:
+        table = jnp.pad(table, ((0, 0), (0, r_pad), (0, 0)))
+    q_pad = (-Lq) % q_tile
+    if q_pad:
+        idx = jnp.pad(idx, ((0, 0), (0, q_pad), (0, 0)))
+        w4 = jnp.pad(w4, ((0, 0), (0, q_pad), (0, 0), (0, 0)))
+    Lq_pad = Lq + q_pad
+    n_tiles = Lq_pad // q_tile
+    S = q_tile * P
+
+    out = pl.pallas_call(
+        _make_level_kernel(q_tile, P, hd, unroll),
         grid=(BH, n_tiles),
+        interpret=jax.default_backend() != "tpu",
         in_specs=[
-            pl.BlockSpec((1, Lv_pad, hd), lambda bh, t: (bh, 0, 0),
+            pl.BlockSpec((1, S), lambda bh, t: (bh, t),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S, 4), lambda bh, t: (bh, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile * C, 1), lambda bh, t: (bh, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile * C, 1), lambda bh, t: (bh, t, 0),
+            pl.BlockSpec((1, R + r_pad, four_hd), lambda bh, t: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile, hd), lambda bh, t: (bh, t, 0),
+        out_specs=pl.BlockSpec((1, q_tile, hd), lambda bh, t: (bh, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BH, Lq_pad, hd), value_bh.dtype),
-    )(value_bh, idx, wgt)
+        out_shape=jax.ShapeDtypeStruct((BH, Lq_pad, hd), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((S, four_hd), table.dtype)],
+    )(idx.reshape(BH, Lq_pad * P), w4.reshape(BH, Lq_pad * P, 4), table)
+    return out[:, :Lq]
 
 
-def ms_deform_attn_pallas(
-    value: jnp.ndarray,
-    spatial_shapes: Sequence[Tuple[int, int]],
-    sampling_locations: jnp.ndarray,
-    attention_weights: jnp.ndarray,
-    force: bool = False,
-) -> jnp.ndarray:
-    """Pallas forward (no custom VJP — use the XLA impl for training).
+def _pallas_forward(value, spatial_shapes, sampling_locations,
+                    attention_weights, matmul_max_rows: int = 1024,
+                    q_tile: int = 256, unroll: int = 8):
+    """Hybrid forward: one-hot matmul for small levels (MXU, same as the XLA
+    hybrid path), VMEM-resident Pallas gather for large levels."""
+    from ..ms_deform_attn import _matmul_level
 
-    Currently blocked by Mosaic gather limits (see module docstring); raises
-    unless ``force=True`` (for when a future Mosaic lifts the vreg limit).
+    B, Len_v, n_heads, head_dim = value.shape
+    v_bh = value.transpose(0, 2, 1, 3).reshape(B * n_heads, Len_v, head_dim)
+
+    offsets = []
+    off = 0
+    for (h, w) in spatial_shapes:
+        offsets.append(off)
+        off += h * w
+
+    out = 0.0
+    for i, (h, w) in enumerate(spatial_shapes):
+        v_lvl = v_bh[:, offsets[i]:offsets[i] + h * w]
+        loc = sampling_locations[:, :, :, i]
+        att = attention_weights[:, :, :, i]
+        if h * w <= matmul_max_rows:
+            out = out + _matmul_level(v_lvl, h, w, loc, att)
+        else:
+            idx, w4 = _level_idx_w4(loc, att, h, w)
+            Lq = idx.shape[1]
+            idx = idx.transpose(0, 2, 1, 3).reshape(B * n_heads, Lq, -1)
+            w4 = w4.transpose(0, 2, 1, 3, 4).reshape(B * n_heads, Lq, -1, 4)
+            g = _pallas_level_gather(_level_quad_table(v_lvl, w), idx, w4,
+                                     q_tile=q_tile, unroll=unroll)
+            out = out + g.reshape(B, n_heads, Lq, head_dim).transpose(0, 2, 1, 3)
+
+    B_, Lq = value.shape[0], sampling_locations.shape[1]
+    return out.astype(value.dtype).reshape(B_, Lq, n_heads * head_dim)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,
+                          attention_weights):
+    """Multi-scale deformable attention, Pallas VMEM-gather forward.
+
+    Same signature/semantics as ``ms_deform_attn`` (ops/ms_deform_attn.py).
+    Backward delegates to the XLA quad path's VJP (identical math).
     """
-    if not force:
-        raise NotImplementedError(
-            "Mosaic dynamic_gather cannot span multiple vregs; use "
-            "ms_deform_attn(impl='fused'). Pass force=True to try anyway.")
-    B, Lv, H, hd = value.shape
-    Lq = sampling_locations.shape[1]
-    idx, wgt = _prepare_indices_weights(
-        tuple(spatial_shapes), sampling_locations, attention_weights)
-    C = idx.shape[-1]
+    return _pallas_forward(value, tuple(spatial_shapes), sampling_locations,
+                           attention_weights)
 
-    # tile so that tile * C == padded table size (Mosaic gather contract)
-    tile = max(Lv // C, 1)
-    Lv_pad = tile * C
-    if Lv_pad < Lv:
-        tile += 1
-        Lv_pad = tile * C
-    vt = value.transpose(0, 2, 1, 3).reshape(B * H, Lv, hd)
-    if Lv_pad > Lv:
-        vt = jnp.pad(vt, ((0, 0), (0, Lv_pad - Lv), (0, 0)))
 
-    pad_q = (-Lq) % tile
-    idx2 = idx.reshape(B * H, Lq, C)
-    wgt2 = wgt.reshape(B * H, Lq, C)
-    if pad_q:
-        idx2 = jnp.pad(idx2, ((0, 0), (0, pad_q), (0, 0)))
-        wgt2 = jnp.pad(wgt2, ((0, 0), (0, pad_q), (0, 0)))
-    # sublane-major single-lane layout for in-kernel lane broadcast
-    idx2 = idx2.reshape(B * H, -1, 1)
-    wgt2 = wgt2.reshape(B * H, -1, 1)
+def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
+    out = _pallas_forward(value, tuple(spatial_shapes), sampling_locations,
+                          attention_weights)
+    return out, (value, sampling_locations, attention_weights)
 
-    out = _pallas_forward(vt, idx2, wgt2, tile, C)
-    out = out[:, :Lq].reshape(B, H, Lq, hd).transpose(0, 2, 1, 3)
-    return out.reshape(B, Lq, H * hd)
+
+def _bwd(spatial_shapes, res, g):
+    from ..ms_deform_attn import _hybrid_impl
+
+    value, sampling_locations, attention_weights = res
+    _, vjp = jax.vjp(
+        lambda v, l, a: _hybrid_impl(v, tuple(spatial_shapes), l, a),
+        value, sampling_locations, attention_weights)
+    return vjp(g)
+
+
+ms_deform_attn_pallas.defvjp(_fwd, _bwd)

@@ -52,9 +52,9 @@ def main():
     rtt = (time.perf_counter() - t0) / 10
     print(f"relay rtt                     {rtt*1000:8.1f} ms")
 
-    for impl in args.impls.split(","):
-        fn = jax.jit(lambda v, l, a, impl=impl: jnp.sum(
-            ms_deform_attn(v, shapes, l, a, impl=impl).astype(jnp.float32)))
+    def bench(name, raw_fn):
+        fn = jax.jit(lambda v, l, a: jnp.sum(
+            raw_fn(v, l, a).astype(jnp.float32)))
         t_c0 = time.perf_counter()
         _ = float(fn(value, loc, w))
         compile_s = time.perf_counter() - t_c0
@@ -64,8 +64,21 @@ def main():
         for _ in range(args.iters):
             float(fn(value, loc, w))
         dt = (time.perf_counter() - t0) / args.iters
-        print(f"{impl:24s} net {max(dt - rtt, 0)*1000:8.1f} ms"
-              f"  (raw {dt*1000:.1f}, compile {compile_s:.1f}s)")
+        print(f"{name:24s} net {max(dt - rtt, 0)*1000:8.1f} ms"
+              f"  (raw {dt*1000:.1f}, compile {compile_s:.1f}s)", flush=True)
+
+    for impl in args.impls.split(","):
+        if impl.startswith("pallas:"):  # pallas:<q_tile>:<unroll>
+            from odise_tpu.ops.pallas.ms_deform_attn_kernel import \
+                _pallas_forward
+
+            _, qt, un = impl.split(":")
+            bench(impl, lambda v, l, a, qt=int(qt), un=int(un):
+                  _pallas_forward(v, tuple(shapes), l, a, q_tile=qt,
+                                  unroll=un))
+        else:
+            bench(impl, lambda v, l, a, impl=impl:
+                  ms_deform_attn(v, shapes, l, a, impl=impl))
 
 
 if __name__ == "__main__":
