@@ -180,7 +180,19 @@ class ODISEMultiScaleMaskedTransformerDecoder(nn.Module):
         else:
             self.input_proj = None
 
-    def _prediction_heads(self, output, mask_features, attn_target_hw):
+    @staticmethod
+    def _threshold_attn_mask(mask_logits_hw):
+        """[B, Q, h, w] mask logits at the attention resolution -> additive
+        attention mask [B, 1, Q, h*w] (True = masked out), with fully-masked
+        rows unmasked (reference odise.py:683)."""
+        B, Q, h, w = mask_logits_hw.shape
+        am = jax.nn.sigmoid(mask_logits_hw).reshape(B, Q, h * w) < 0.5
+        all_masked = jnp.all(am, axis=-1, keepdims=True)
+        am = jnp.where(all_masked, False, am)
+        return jax.lax.stop_gradient(am)[:, None]
+
+    def _prediction_heads(self, output, mask_features, attn_target_hw,
+                          need_attn_mask=True):
         """One prediction-head pass (reference odise.py:729-776)."""
         x = self.decoder_norm(output).astype(output.dtype)
         outputs_class = self._class_embed(x)
@@ -200,17 +212,32 @@ class ODISEMultiScaleMaskedTransformerDecoder(nn.Module):
                 outputs_mask = post.pop("outputs_mask")
             extra.update(post)
 
-        B, Q = outputs_mask.shape[:2]
-        h, w = attn_target_hw
-        am = jax.image.resize(outputs_mask, (B, Q, h, w), method="bilinear")
-        am = jax.nn.sigmoid(am).reshape(B, Q, h * w) < 0.5  # True = masked out
-        # unmask fully-masked rows (reference odise.py:683)
-        all_masked = jnp.all(am, axis=-1, keepdims=True)
-        am = jnp.where(all_masked, False, am)
-        am = jax.lax.stop_gradient(am)[:, None]  # [B, 1(heads), Q, hw]
+        am = None
+        if need_attn_mask:
+            B, Q = outputs_mask.shape[:2]
+            h, w = attn_target_hw
+            am = self._threshold_attn_mask(jax.image.resize(
+                outputs_mask, (B, Q, h, w), method="bilinear"))
         return outputs_class, outputs_mask, am, extra
 
-    def __call__(self, x: Sequence[jnp.ndarray], mask_features: jnp.ndarray):
+    def _fast_attn_mask(self, output, mask_features_lvl):
+        """Attention mask ONLY, computed at the attention resolution.
+
+        Bilinear resize is linear in the pixels and the mask einsum is linear
+        in ``mask_features``, so ``resize(einsum(e, F)) == einsum(e,
+        resize(F))`` — the full-resolution intermediate mask (a 256^2-pixel
+        einsum + resize + the PooledMaskEmbed mask-pooling, per layer) is
+        never needed at inference, where aux outputs are discarded
+        (reference odise.py:729-776 computes them anyway; eval drops them in
+        maskformer_model.py's inference path)."""
+        x = self.decoder_norm(output).astype(output.dtype)
+        r = self._mask_embed(x)
+        mask_embed = r["mask_embed"] if isinstance(r, dict) else r
+        m = jnp.einsum("bqc,bhwc->bqhw", mask_embed, mask_features_lvl)
+        return self._threshold_attn_mask(m)
+
+    def __call__(self, x: Sequence[jnp.ndarray], mask_features: jnp.ndarray,
+                 training: bool = True):
         assert len(x) == self.num_feature_levels
         B = x[0].shape[0]
         srcs, poss, sizes = [], [], []
@@ -229,12 +256,27 @@ class ODISEMultiScaleMaskedTransformerDecoder(nn.Module):
         output = output.astype(srcs[0].dtype)
         query_pos = query_pos.astype(srcs[0].dtype)
 
+        fast = not training
+        if fast:
+            # inference discards aux outputs, so intermediate layers only
+            # need the ATTENTION MASK — computed directly at the attention
+            # resolution against pre-resized mask features (one resize per
+            # level instead of one full-resolution mask einsum + resize +
+            # mask-pooling per layer; see _fast_attn_mask)
+            C = mask_features.shape[-1]
+            mf_small = [
+                jax.image.resize(mask_features, (B, h, w, C), method="bilinear")
+                for (h, w) in sizes]
+
         classes, masks, extras = [], [], []
-        out_cls, out_mask, attn_mask, extra = self._prediction_heads(
-            output, mask_features, sizes[0])
-        classes.append(out_cls)
-        masks.append(out_mask)
-        extras.append(extra)
+        if fast:
+            attn_mask = self._fast_attn_mask(output, mf_small[0])
+        else:
+            out_cls, out_mask, attn_mask, extra = self._prediction_heads(
+                output, mask_features, sizes[0])
+            classes.append(out_cls)
+            masks.append(out_mask)
+            extras.append(extra)
 
         for i in range(self.dec_layers):
             li = i % self.num_feature_levels
@@ -242,11 +284,24 @@ class ODISEMultiScaleMaskedTransformerDecoder(nn.Module):
                                           query_pos)
             output = self.self_layers[i](output, query_pos)
             output = self.ffn_layers[i](output)
-            out_cls, out_mask, attn_mask, extra = self._prediction_heads(
-                output, mask_features, sizes[(i + 1) % self.num_feature_levels])
-            classes.append(out_cls)
-            masks.append(out_mask)
-            extras.append(extra)
+            if fast and i < self.dec_layers - 1:
+                attn_mask = self._fast_attn_mask(
+                    output, mf_small[(i + 1) % self.num_feature_levels])
+            elif fast:
+                out_cls, out_mask, _, extra = self._prediction_heads(
+                    output, mask_features,
+                    sizes[(i + 1) % self.num_feature_levels],
+                    need_attn_mask=False)
+                classes.append(out_cls)
+                masks.append(out_mask)
+                extras.append(extra)
+            else:
+                out_cls, out_mask, attn_mask, extra = self._prediction_heads(
+                    output, mask_features,
+                    sizes[(i + 1) % self.num_feature_levels])
+                classes.append(out_cls)
+                masks.append(out_mask)
+                extras.append(extra)
 
         out = {
             "pred_logits": classes[-1],
@@ -276,6 +331,7 @@ class MaskFormerHead(nn.Module):
     input_shape: Optional[dict] = None
 
     @nn.compact
-    def __call__(self, features: Dict[str, jnp.ndarray]):
+    def __call__(self, features: Dict[str, jnp.ndarray], training: bool = True):
         mask_features, multi_scale_features = self.pixel_decoder(features)
-        return self.transformer_predictor(multi_scale_features, mask_features)
+        return self.transformer_predictor(multi_scale_features, mask_features,
+                                          training=training)

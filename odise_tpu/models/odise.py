@@ -230,7 +230,7 @@ class CategoryODISE(nn.Module):
 
     def forward_features(self, images: jnp.ndarray, training: bool) -> Dict[str, Any]:
         features = self.backbone(images, training=training)
-        return self.sem_seg_head(features)
+        return self.sem_seg_head(features, training=training)
 
     def forward_train(self, images: jnp.ndarray, text_embed_raw: jnp.ndarray,
                       labels: Optional[tuple] = None) -> Dict[str, Any]:
@@ -401,7 +401,7 @@ class CaptionODISE(nn.Module):
 
     def forward_features(self, images: jnp.ndarray, training: bool) -> Dict[str, Any]:
         features = self.backbone(images, training=training)
-        return self.sem_seg_head(features)
+        return self.sem_seg_head(features, training=training)
 
     def forward_train(self, images: jnp.ndarray, word_tokens: jnp.ndarray
                       ) -> Dict[str, Any]:

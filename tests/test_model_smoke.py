@@ -192,3 +192,36 @@ def test_slide_serial_matches_batched():
         np.testing.assert_allclose(np.asarray(out_serial[k]),
                                    np.asarray(out_batched[k]),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_fast_inference_decoder_matches_training_path():
+    """training=False computes intermediate attention masks directly at the
+    attention resolution (resize commuted into mask_features — exact up to
+    fp reassociation) and skips intermediate class/pool heads; the FINAL
+    outputs must match the training path's final layer."""
+    rng = jax.random.PRNGKey(3)
+    B, C, dec_layers = 2, HID, 3
+    predictor = ODISEMultiScaleMaskedTransformerDecoder(
+        hidden_dim=C, num_queries=NUM_Q, nheads=4, dim_feedforward=64,
+        dec_layers=dec_layers, mask_dim=C, num_classes=len(LABELS),
+        in_channels=C,
+        class_embed=PseudoClassEmbed(num_classes=len(LABELS)),
+        post_mask_embed=PooledMaskEmbed(hidden_dim=C, mask_dim=C,
+                                        projection_dim=C))
+    keys = jax.random.split(rng, 6)
+    xs = [jax.random.normal(keys[i], (B, s, s, C)) * 0.3
+          for i, s in enumerate((4, 8, 16))]
+    mask_features = jax.random.normal(keys[3], (B, 32, 32, C)) * 0.3
+    variables = predictor.init(keys[4], xs, mask_features)
+
+    full = predictor.apply(variables, xs, mask_features, training=True)
+    fast = predictor.apply(variables, xs, mask_features, training=False)
+
+    assert len(full["aux_outputs"]) == dec_layers
+    assert fast["aux_outputs"] == []
+    for k in ("pred_logits", "pred_masks", "mask_embed",
+              "mask_pooled_features"):
+        np.testing.assert_allclose(np.asarray(fast[k]), np.asarray(full[k]),
+                                   rtol=2e-4, atol=2e-4, err_msg=k)
+    np.testing.assert_allclose(np.asarray(fast["logit_scale"]),
+                               np.asarray(full["logit_scale"]))

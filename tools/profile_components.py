@@ -1,10 +1,15 @@
 #!/usr/bin/env python
-"""Per-component timing at eval resolution (backbone / head / clip / fusion).
+"""Per-component timing at eval resolution (backbone / pixel-decoder /
+transformer-decoder / clip / fusion).
 
 Timing method: every jitted function returns a scalar checksum and the loop
 fetches it to the host each iteration — ``block_until_ready`` alone is not a
 reliable barrier through the axon TPU relay. The measured relay round-trip
 (~tiny-op time) is reported so it can be subtracted.
+
+Parameters come from the committed static shape manifest (same design as
+bench.py: flat zero buffers carved by static slices inside each jit), so the
+pre-compile phase is seconds, not minutes.
 """
 
 from __future__ import annotations
@@ -19,14 +24,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def timed(fn, args, iters=5, warmup=1, name=""):
+    t_c0 = time.perf_counter()
     _ = float(fn(*args))
+    compile_s = time.perf_counter() - t_c0
     for _ in range(warmup):
         float(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         s = float(fn(*args))
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name:36s} {dt * 1000:8.1f} ms")
+    print(f"{name:40s} {dt * 1000:8.1f} ms  (compile {compile_s:.0f}s)",
+          flush=True)
     return dt
 
 
@@ -42,11 +50,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--image-size", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--impl", default=os.environ.get(
+        "ODISE_TPU_DEFORM_IMPL", "hybrid"))
+    ap.add_argument("--param-storage", default="bf16", choices=["f32", "bf16"])
+    ap.add_argument("--no-manifest", action="store_true")
     args = ap.parse_args()
+    os.environ["ODISE_TPU_DEFORM_IMPL"] = args.impl
 
     import jax
     import jax.numpy as jnp
 
+    from bench import load_manifest_flat
     from odise_tpu.model_zoo.factory import build_category_odise
     from odise_tpu.models.inference import panoptic_inference, semantic_inference
 
@@ -62,13 +76,22 @@ def main():
     overlap = jnp.zeros((K,), jnp.int32)
     thing_mask = jnp.asarray([True] * 80 + [False] * (K - 80))
 
-    def init_fn():
-        return model.init(jax.random.PRNGKey(0), img, text_raw, labels,
-                          clip_text, labels, overlap,
-                          method=type(model).forward_eval)
+    manifest_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "odise_tpu", "model_zoo", "bench_manifest.json.gz")
+    if args.no_manifest:
+        def init_fn():
+            return model.init(jax.random.PRNGKey(0), img, text_raw, labels,
+                              clip_text, labels, overlap,
+                              method=type(model).forward_eval)
 
-    shapes = jax.eval_shape(init_fn)
-    variables = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        shapes = jax.eval_shape(init_fn)
+        flats = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        unflatten = lambda v: v  # noqa: E731
+    else:
+        flats, unflatten = load_manifest_flat(
+            manifest_path, storage=args.param_storage)
 
     @jax.jit
     def rtt_fn(x):
@@ -77,43 +100,53 @@ def main():
     t_rtt = timed(rtt_fn, (img,), name="relay round-trip (tiny op)")
 
     bb = jax.jit(lambda v, x: tree_sum(model.apply(
-        v, x, training=False,
+        unflatten(v), x, training=False,
         method=lambda m, xx, training: m.backbone(xx, training=training))))
-    t_bb = timed(bb, (variables, img), name="backbone (SD features)")
+    t_bb = timed(bb, (flats, img), name="backbone (SD features)")
+
+    pixdec = jax.jit(lambda v, x: tree_sum(model.apply(
+        unflatten(v), x,
+        method=lambda m, xx: m.sem_seg_head.pixel_decoder(
+            m.backbone(xx, training=False)))))
+    t_pix = timed(pixdec, (flats, img), name="backbone+pixel_decoder")
 
     head = jax.jit(lambda v, x: tree_sum({
         k: val for k, val in model.apply(
-            v, x, False, method=type(model).forward_features).items()
+            unflatten(v), x, False, method=type(model).forward_features).items()
         if k in ("pred_masks", "pred_logits", "mask_embed")}))
-    t_head = timed(head, (variables, img), name="backbone+head")
+    t_head = timed(head, (flats, img), name="backbone+head")
 
     noclip = jax.jit(lambda v, x, t: tree_sum(model.apply(
-        v, x, t, labels, method=type(model).forward_eval)))
-    t_noclip = timed(noclip, (variables, img, text_raw),
+        unflatten(v), x, t, labels, method=type(model).forward_eval)))
+    t_noclip = timed(noclip, (flats, img, text_raw),
                      name="eval fwd+upsample (no clip head)")
 
     full = jax.jit(lambda v, x, t, ct, ov: tree_sum(model.apply(
-        v, x, t, labels, ct, labels, ov, method=type(model).forward_eval)))
-    t_full = timed(full, (variables, img, text_raw, clip_text, overlap),
+        unflatten(v), x, t, labels, ct, labels, ov,
+        method=type(model).forward_eval)))
+    t_full = timed(full, (flats, img, text_raw, clip_text, overlap),
                    name="eval fwd+upsample (clip head)")
 
     @jax.jit
     def fused(v, x, t, ct, ov):
         mask_cls, mask_pred = model.apply(
-            v, x, t, labels, ct, labels, ov, method=type(model).forward_eval)
+            unflatten(v), x, t, labels, ct, labels, ov,
+            method=type(model).forward_eval)
         sem = jax.vmap(semantic_inference)(mask_cls, mask_pred)
         pan = jax.vmap(lambda c, m: panoptic_inference(c, m, thing_mask, 0.0, 0.8)
                        )(mask_cls, mask_pred)
         return jnp.sum(sem) + jnp.sum(pan.panoptic_seg)
 
-    t_all = timed(fused, (variables, img, text_raw, clip_text, overlap),
+    t_all = timed(fused, (flats, img, text_raw, clip_text, overlap),
                   name="eval + fusion (end to end)")
 
     r = 1000
     print(json.dumps({
+        "impl": args.impl,
         "rtt_ms": round(t_rtt * r, 1),
         "backbone_ms": round((t_bb - t_rtt) * r, 1),
-        "head_ms": round((t_head - t_bb) * r, 1),
+        "pixel_decoder_ms": round((t_pix - t_bb) * r, 1),
+        "transformer_decoder_ms": round((t_head - t_pix) * r, 1),
         "upsample_category_ms": round((t_noclip - t_head) * r, 1),
         "clip_head_ms": round((t_full - t_noclip) * r, 1),
         "fusion_ms": round((t_all - t_full) * r, 1),
