@@ -5,6 +5,12 @@ Capability parity with the reference's prepare_ade20k_ins_seg.py: converts the
 per-image instance pngs (R = thing-class index, G = instance id) into a
 COCO-format json with RLE-free polygon-less segmentation (binary-mask areas
 and boxes; masks referenced by source png) for the 100 ADE thing classes.
+
+The reference maps the 100-class instance taxonomy to SceneParse150 ids via
+datasets/ade20k_instance_catid_mapping.txt; that mapping is exactly ordinal —
+instance class n is the n-th `isthing` entry of the 150-class list (verified
+against the reference's mapping file: all 100 unique rows monotone and equal
+to `thing_idx`), so `thing_idx[tc - 1]` below reproduces it without the file.
 """
 
 from __future__ import annotations
