@@ -94,6 +94,9 @@ def main():
         # the ambient sitecustomize re-selects the TPU relay even when
         # JAX_PLATFORMS=cpu is exported; pin via config for local testing
         jax.config.update("jax_platforms", "cpu")
+    from odise_tpu.engine.defaults import enable_compilation_cache
+
+    enable_compilation_cache()  # opt-in via ODISE_TPU_COMPILE_CACHE
     import jax.numpy as jnp
     from PIL import Image
 
@@ -102,10 +105,15 @@ def main():
     from odise_tpu.models.wrapper import OpenPanopticInference, build_open_vocabulary
 
     cfg = resolve(load_config(args.config_file))
-    # demo thresholds (reference demo/demo.py:315-318)
-    cfg.model.overlap_threshold = 0.0
-    cfg.model.clip_head.alpha = 0.35
-    cfg.model.clip_head.beta = 0.65
+    # demo thresholds (reference demo/demo.py:315-318); configs built from
+    # the compact factory (e.g. the tiny synth smoke configs) don't expose
+    # these keys — skip rather than pass unknown kwargs to the target
+    if "overlap_threshold" in cfg.model:
+        cfg.model.overlap_threshold = 0.0
+    overlap_threshold = cfg.model.get("overlap_threshold", 0.0)
+    if getattr(cfg.model, "clip_head", None) is not None:
+        cfg.model.clip_head.alpha = 0.35
+        cfg.model.clip_head.beta = 0.65
     model = instantiate_odise(cfg.model)
 
     labels, thing_flags = build_demo_vocab(args)
@@ -168,7 +176,7 @@ def main():
             pan = panoptic_inference(mask_cls[0], mask_pred[0],
                                      jnp.asarray(vocab.thing_mask),
                                      object_mask_threshold=0.0,
-                                     overlap_threshold=cfg.model.overlap_threshold)
+                                     overlap_threshold=overlap_threshold)
             seg = np.asarray(pan.panoptic_seg)[:nh, :nw]
             overlay = (0.5 * resized + 0.5 * colorize(seg)).astype(np.uint8)
             if writer is None:
@@ -199,7 +207,7 @@ def main():
         pan = panoptic_inference(mask_cls[0], mask_pred[0],
                                  jnp.asarray(vocab.thing_mask),
                                  object_mask_threshold=0.0,
-                                 overlap_threshold=cfg.model.overlap_threshold)
+                                 overlap_threshold=overlap_threshold)
         seg = np.asarray(pan.panoptic_seg)[:nh, :nw]
         n = int(pan.num_segments)
         cats = np.asarray(pan.segment_category)

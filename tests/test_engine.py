@@ -64,3 +64,23 @@ def test_optimizer_masks_frozen_params():
     updates, _ = tx.update(grads, state, params)
     assert float(jnp.abs(updates["decoder"]["w"]).sum()) > 0
     np.testing.assert_allclose(np.asarray(updates["unet"]["w"]), 0.0)
+
+
+def test_persistent_compilation_cache(tmp_path, monkeypatch):
+    """enable_compilation_cache writes executables to the named directory
+    (reference counterpart: none — d2 recompiles nothing, but our trunk
+    compiles are minutes; resume-after-preemption should not re-pay them)."""
+    from odise_tpu.engine.defaults import enable_compilation_cache
+
+    cache_dir = tmp_path / "jaxcache"
+    monkeypatch.setenv("ODISE_TPU_COMPILE_CACHE", str(cache_dir))
+    assert enable_compilation_cache(min_compile_secs=0.0) == str(cache_dir)
+    try:
+        f = jax.jit(lambda x: jnp.sin(x) @ x.T)
+        x = np.ones((256, 256), np.float32)
+        np.testing.assert_allclose(np.asarray(f(x)), np.sin(x) @ x.T,
+                                   rtol=1e-5)
+        entries = list(cache_dir.iterdir())
+        assert entries, "no cache entries written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)

@@ -57,6 +57,9 @@ def default_setup(cfg, args):
     setup_logger(output_dir)
     logger.info("Command line args: %s", args)
     save_config(cfg, os.path.join(output_dir, "config.yaml"))
+    from odise_tpu.engine.defaults import enable_compilation_cache
+
+    enable_compilation_cache()  # opt-in via ODISE_TPU_COMPILE_CACHE
     import jax
 
     logger.info("JAX devices: %s", jax.devices())
