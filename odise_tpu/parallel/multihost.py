@@ -1,0 +1,133 @@
+"""Multi-host (multi-process) SPMD support.
+
+The reference scales past one node with detectron2's ``launch`` — one process
+per GPU, TCP rendezvous on ``--dist-url``, DDP over NCCL (reference
+tools/train_net.py:392-399, GETTING_STARTED.md:56-62, 4 nodes x 8 V100 for
+the 50e recipe). The TPU-native counterpart is JAX's single-controller
+multi-process runtime: one process per host, `jax.distributed.initialize`
+for rendezvous, a global `Mesh` spanning every chip of every host, and XLA
+collectives over ICI/DCN doing what NCCL did.
+
+What maps to what:
+
+* d2 ``launch`` + ``--dist-url``      -> `initialize_multihost()` (env-driven)
+* per-GPU process + DistributedSampler-> per-HOST process; each host maps its
+  slice of the record stream (`build_train_loader(num_hosts, host_id)`)
+* DDP gradient all-reduce             -> the batch axis of the global mesh:
+  the train step is jit'd over a mesh whose ``data`` axis spans all hosts;
+  XLA inserts the gradient psum (ICI intra-pod, DCN across slices)
+* ``comm.is_main_process()``          -> `is_main_process()`
+* ``comm.synchronize()``              -> `sync_global_devices(tag)`
+
+Single-process behavior is identical by construction: every helper
+degenerates to the local path when ``jax.process_count() == 1``, so the same
+train script runs unchanged from a laptop CPU to a multi-host pod
+(tests cover the degenerate path; the multi-process path follows the
+documented JAX runtime contract, which a single-host image cannot execute).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_INITIALIZED = False
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> bool:
+    """Join (or skip) the multi-process JAX runtime. Idempotent.
+
+    Opt-in: runs `jax.distributed.initialize` when either explicit arguments
+    are given or ``ODISE_TPU_MULTIHOST=1`` (on Cloud TPU pods `initialize()`
+    discovers coordinator/rank from the TPU metadata with no arguments —
+    the counterpart of the reference's ``--dist-url auto``). MUST be called
+    before any other JAX API touches a backend. Returns True if the process
+    is part of a multi-process runtime after the call.
+    """
+    global _INITIALIZED
+    import jax
+
+    explicit = coordinator_address or num_processes or process_id is not None
+    if not explicit and os.environ.get("ODISE_TPU_MULTIHOST", "") != "1":
+        return jax.process_count() > 1
+    if _INITIALIZED:
+        return jax.process_count() > 1
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes:
+        kwargs["num_processes"] = int(num_processes)
+    if process_id is not None:
+        kwargs["process_id"] = int(process_id)
+    jax.distributed.initialize(**kwargs)
+    _INITIALIZED = True
+    logger.info("multihost: process %d/%d, %d local + %d global devices",
+                jax.process_index(), jax.process_count(),
+                len(jax.local_devices()), len(jax.devices()))
+    return jax.process_count() > 1
+
+
+def is_main_process() -> bool:
+    import jax
+
+    return jax.process_index() == 0
+
+
+def sync_global_devices(tag: str) -> None:
+    """Barrier across all hosts (no-op single-process); the counterpart of
+    the reference's ``comm.synchronize()`` rank-0 download barriers."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
+def global_batch_from_local(local_batch: Dict[str, np.ndarray], mesh,
+                            sharding=None) -> Dict:
+    """Assemble per-host batch arrays into GLOBAL jax.Arrays sharded over the
+    mesh's data axis.
+
+    Each host feeds only its slice (`build_train_loader(num_hosts, host_id)`
+    hands out disjoint records); `jax.make_array_from_process_local_data`
+    stitches the per-process shards into one logical array without any
+    host-to-host copy of the data itself. Single-process this is exactly
+    ``jax.device_put(v, batch_sharding(mesh))``.
+    """
+    import jax
+
+    from .mesh import batch_sharding
+
+    sharding = sharding or batch_sharding(mesh)
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in local_batch.items()
+    }
+
+
+def process_allgather_stats(tree):
+    """All-gather a pytree of small host-side numpy stat arrays across
+    processes, returning a list-of-trees (one per process). The counterpart
+    of the reference evaluators' ``comm.gather`` of per-rank predictions
+    (d2 evaluator.py) — but for sufficient STATISTICS (KBs), never
+    prediction tensors. Single-process: returns ``[tree]``.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return [tree]
+    from jax.experimental import multihost_utils
+
+    # stack-gather each leaf: [num_processes, ...] then split back per rank
+    gathered = multihost_utils.process_allgather(tree)
+    n = jax.process_count()
+    return [jax.tree_util.tree_map(lambda x: np.asarray(x)[i], gathered)
+            for i in range(n)]

@@ -42,6 +42,15 @@ def parse_args():
                    help="reference world size for auto scaling")
     p.add_argument("--max-eval-images", type=int, default=-1,
                    help="cap eval images per task (smoke runs)")
+    # multi-host rendezvous (reference --dist-url/--num-machines/--machine-rank,
+    # tools/train_net.py:392-399). On Cloud TPU pods all three are discovered
+    # automatically; ODISE_TPU_MULTIHOST=1 alone opts in.
+    p.add_argument("--dist-url", default="",
+                   help="coordinator address host:port for multi-host runs")
+    p.add_argument("--num-machines", type=int, default=0,
+                   help="total number of host processes")
+    p.add_argument("--machine-rank", type=int, default=-1,
+                   help="this host's process id")
     p.add_argument("opts", nargs=argparse.REMAINDER,
                    help="dotted config overrides: a.b.c=value")
     return p.parse_args()
@@ -217,8 +226,10 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
             vocab = vocab_cache[vkey] = build_vocab_and_thing_mask(
                 model, variables, wrapper_cfg, model.train_labels)
         # data-parallel eval: shard same-bucket image groups over the mesh's
-        # data axis (multi-device counterpart of the reference's DDP eval)
-        n_data = (len(jax.devices())
+        # data axis (multi-device counterpart of the reference's DDP eval).
+        # Multi-host runs evaluate on the main process's LOCAL devices only
+        # (a global-mesh jit would require every process to participate).
+        n_data = (len(jax.local_devices())
                   if cfg.dataloader.get("eval_data_parallel", True) else 1)
         ikey_infer = (dataset_name, n_data)
         infer = infer_cache.get(ikey_infer)
@@ -228,7 +239,9 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
                 from odise_tpu.parallel.mesh import create_mesh
 
                 infer = ShardedOpenPanopticInference(
-                    model, variables, vocab, create_mesh(data=n_data, model=1))
+                    model, variables, vocab,
+                    create_mesh(data=n_data, model=1,
+                                devices=jax.local_devices()))
             else:
                 infer = OpenPanopticInference(model, variables, vocab)
             infer_cache[ikey_infer] = infer
@@ -539,9 +552,18 @@ def do_train(args, cfg):
     from odise_tpu.utils.events import (
         CommonMetricPrinter, EventStorage, JSONWriter, WandbWriter, WriterStack)
 
+    from odise_tpu.parallel.multihost import (
+        global_batch_from_local, is_main_process, sync_global_devices)
+
     cfg = resolve(cfg)
     model = instantiate_odise(cfg.model)
     criterion_cfg = instantiate(cfg.criterion)
+    multihost = jax.process_count() > 1
+    if multihost:
+        # each host maps a disjoint slice of the record stream (the
+        # counterpart of d2's DistributedSampler under `launch`)
+        cfg.dataloader.train.num_hosts = jax.process_count()
+        cfg.dataloader.train.host_id = jax.process_index()
     train_loader = instantiate(cfg.dataloader.train)
 
     mesh = create_mesh(data=len(jax.devices()), model=1)
@@ -595,14 +617,17 @@ def do_train(args, cfg):
     best_ck = BestCheckpointer(ck, metric="main/PQ", mode="max")
 
     def run_eval(state, final_iter):
-        full = merge_param_trees(frozen_params, state.params)
-        results = do_test(cfg, model, {"params": full},
-                          max_images=args.max_eval_images,
-                          final_iter=final_iter)
-        flat = {f"{task}/{k}": v for task, r in results.items()
-                for k, v in r.items() if isinstance(v, (int, float))}
-        best_ck.maybe_save(flat, jax.device_get(state.params),
-                           jax.device_get(state.opt_state), int(state.step))
+        flat = {}
+        if is_main_process():  # eval on the main host's local devices
+            full = merge_param_trees(frozen_params, state.params)
+            results = do_test(cfg, model, {"params": full},
+                              max_images=args.max_eval_images,
+                              final_iter=final_iter)
+            flat = {f"{task}/{k}": v for task, r in results.items()
+                    for k, v in r.items() if isinstance(v, (int, float))}
+            best_ck.maybe_save(flat, jax.device_get(state.params),
+                               jax.device_get(state.opt_state), int(state.step))
+        sync_global_devices("eval_done")
         return flat
 
     state = TrainState(jnp.asarray(start_iter), params, opt_state)
@@ -627,14 +652,21 @@ def do_train(args, cfg):
     bs = batch_sharding(mesh)
 
     def place(batch):
-        return {k: jax.device_put(v, bs) for k, v in batch.items()
-                if k in batch_keys}
+        batch = {k: v for k, v in batch.items() if k in batch_keys}
+        if multihost:
+            # per-host arrays -> one global array sharded over `data`
+            return global_batch_from_local(batch, mesh, sharding=bs)
+        return {k: jax.device_put(v, bs) for k, v in batch.items()}
 
     storage = EventStorage(start_iter)
-    writers = [CommonMetricPrinter(cfg.train.max_iter),
-               JSONWriter(os.path.join(cfg.train.output_dir, "metrics.json"))]
-    if args.wandb:
-        writers.append(WandbWriter(max_iter=cfg.train.max_iter))
+    # metrics are replicated scalars — every process computes them, only the
+    # main process writes (the reference's comm.is_main_process() gating)
+    writers = []
+    if is_main_process():
+        writers = [CommonMetricPrinter(cfg.train.max_iter),
+                   JSONWriter(os.path.join(cfg.train.output_dir, "metrics.json"))]
+        if args.wandb:
+            writers.append(WandbWriter(max_iter=cfg.train.max_iter))
 
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
     data_iter = iter(train_loader) if not hasattr(train_loader, "__next__") else train_loader
@@ -656,7 +688,8 @@ def do_train(args, cfg):
             if (it + 1) % cfg.train.log_period == 0:
                 for w in writers:
                     w.write(storage)
-            if (it + 1) % cfg.train.checkpointer.period == 0 or (it + 1) == cfg.train.max_iter:
+            if ((it + 1) % cfg.train.checkpointer.period == 0
+                    or (it + 1) == cfg.train.max_iter) and is_main_process():
                 ck.save(f"model_{it:07d}", jax.device_get(state.params),
                         jax.device_get(state.opt_state), it + 1)
             if (cfg.train.eval_period > 0 and (it + 1) % cfg.train.eval_period == 0
@@ -667,11 +700,13 @@ def do_train(args, cfg):
                 storage.put_scalars(**{k: v for k, v in eval_metrics.items()
                                        if "/" in k})
             storage.step()
-        ck.save("model_final", jax.device_get(state.params),
-                jax.device_get(state.opt_state), cfg.train.max_iter)
+        if is_main_process():
+            ck.save("model_final", jax.device_get(state.params),
+                    jax.device_get(state.opt_state), cfg.train.max_iter)
         if cfg.train.eval_period > 0:
             run_eval(state, final_iter=True)
         ck.wait()  # async saves must be durable before exit
+        sync_global_devices("train_end")
 
     return state
 
@@ -684,6 +719,12 @@ def main():
         # the ambient sitecustomize re-selects the TPU relay even when
         # JAX_PLATFORMS=cpu is exported; pin via config for local testing
         jax.config.update("jax_platforms", "cpu")
+    from odise_tpu.parallel.multihost import initialize_multihost
+
+    initialize_multihost(
+        coordinator_address=args.dist_url or None,
+        num_processes=args.num_machines or None,
+        process_id=args.machine_rank if args.machine_rank >= 0 else None)
     from odise_tpu.config import apply_overrides, auto_scale_workers, load_config
 
     cfg = load_config(args.config_file)
