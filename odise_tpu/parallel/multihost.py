@@ -19,6 +19,13 @@ What maps to what:
 * ``comm.is_main_process()``          -> `is_main_process()`
 * ``comm.synchronize()``              -> `sync_global_devices(tag)`
 
+Evaluation in a multi-host run executes on the main process's local devices
+(already data-parallel over them, models/wrapper.py); the other hosts wait
+at a barrier. Sharding the val set across hosts (the reference's DDP eval)
+would merge per-host sufficient statistics with
+`multihost_utils.process_allgather` — deliberately not implemented blind: it
+cannot be executed (hence tested) on a single-host image.
+
 Single-process behavior is identical by construction: every helper
 degenerates to the local path when ``jax.process_count() == 1``, so the same
 train script runs unchanged from a laptop CPU to a multi-host pod
@@ -111,23 +118,3 @@ def global_batch_from_local(local_batch: Dict[str, np.ndarray], mesh,
         k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
         for k, v in local_batch.items()
     }
-
-
-def process_allgather_stats(tree):
-    """All-gather a pytree of small host-side numpy stat arrays across
-    processes, returning a list-of-trees (one per process). The counterpart
-    of the reference evaluators' ``comm.gather`` of per-rank predictions
-    (d2 evaluator.py) — but for sufficient STATISTICS (KBs), never
-    prediction tensors. Single-process: returns ``[tree]``.
-    """
-    import jax
-
-    if jax.process_count() == 1:
-        return [tree]
-    from jax.experimental import multihost_utils
-
-    # stack-gather each leaf: [num_processes, ...] then split back per rank
-    gathered = multihost_utils.process_allgather(tree)
-    n = jax.process_count()
-    return [jax.tree_util.tree_map(lambda x: np.asarray(x)[i], gathered)
-            for i in range(n)]

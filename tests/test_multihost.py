@@ -13,7 +13,7 @@ import numpy as np
 from odise_tpu.parallel.mesh import batch_sharding, create_mesh
 from odise_tpu.parallel.multihost import (
     global_batch_from_local, initialize_multihost, is_main_process,
-    process_allgather_stats, sync_global_devices)
+    sync_global_devices)
 
 
 def test_initialize_noop_without_optin(monkeypatch):
@@ -44,10 +44,3 @@ def test_global_batch_feeds_jit():
     batch = {"x": np.ones((8, 4), np.float32)}
     got = global_batch_from_local(batch, mesh)
     assert float(jax.jit(lambda b: b["x"].sum())(got)) == 32.0
-
-
-def test_process_allgather_stats_single():
-    tree = {"conf": np.arange(6).reshape(2, 3), "n": np.asarray(3)}
-    out = process_allgather_stats(tree)
-    assert len(out) == 1
-    np.testing.assert_array_equal(out[0]["conf"], tree["conf"])
