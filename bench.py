@@ -196,12 +196,20 @@ def main():
         float(eval_step(param_arg, img, text_raw, clip_text, overlap))
         log(f"warmup {i + 1}/{args.warmup}")
 
-    t0 = time.perf_counter()
+    times = []
     for _ in range(args.iters):
+        t0 = time.perf_counter()
         float(eval_step(param_arg, img, text_raw, clip_text, overlap))
-    dt = time.perf_counter() - t0
-    per_iter = max(dt / args.iters - rtt, 1e-6)
-    log(f"{args.iters} timed iters in {dt:.2f}s -> {per_iter * 1000:.1f} ms/img")
+        times.append(time.perf_counter() - t0)
+    # median, not mean: the shared chip + relay produce occasional multi-x
+    # outlier iterations (queue drains, host hiccups) that say nothing about
+    # the steady-state step time
+    times.sort()
+    med = times[len(times) // 2]
+    per_iter = max(med - rtt, 1e-6)
+    log(f"{args.iters} timed iters: median {med * 1000:.1f} ms "
+        f"(min {times[0] * 1000:.1f}, max {times[-1] * 1000:.1f}) "
+        f"-> {per_iter * 1000:.1f} ms/img")
 
     imgs_per_sec = B / per_iter
     print(json.dumps({
