@@ -42,6 +42,12 @@ class CriterionConfig:
     # so approximate selection changes nothing about the loss semantics.
     # Exact mode remains for bit-parity studies.
     approx_topk: bool = False
+    # quad-table override for the DIFFERENTIABLE pred-mask point sample
+    # (None = grid_sample's auto heuristic). The quad table wins forward
+    # transactions but its build re-runs in the backward pass; the plain
+    # 4-corner gather backward is 4 small scatter-adds. Outputs are equal
+    # either way (tests/test_ops.py); this only moves time.
+    pred_quad_sample: Optional[bool] = None
 
 
 def get_uncertain_point_coords_with_randomness(
@@ -102,7 +108,8 @@ def _one_layer_losses(pred_logits, pred_masks, targets, matched, rng, cfg,
         jax.lax.stop_gradient(flat_pred), rng, cfg.num_points,
         cfg.oversample_ratio, cfg.importance_sample_ratio,
         approx_topk=cfg.approx_topk)
-    pred_pts = point_sample(flat_pred[..., None], pts)[..., 0]   # [BT, P]
+    pred_pts = point_sample(flat_pred[..., None], pts,
+                            quad=cfg.pred_quad_sample)[..., 0]   # [BT, P]
     # GT masks are binary: bit-plane-packed sampling is exact and turns the
     # random access into a ~4 MB table instead of the ~80 MB float planes
     # (12.8 -> ~2 ms/layer measured; see tools/bench_criterion.py)

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 __all__ = ["grid_sample", "point_sample", "point_sample_packed_binary"]
 
 
-def grid_sample(im: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
+def grid_sample(im: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = False,
+                quad: bool | None = None) -> jnp.ndarray:
     """Sample ``im`` at normalized coordinates ``grid``.
 
     Args:
@@ -57,8 +58,13 @@ def grid_sample(im: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = False)
     # map) for 4x fewer gather transactions. That wins while the table is
     # small next to the gather (pred masks at <=512^2); at 1024^2 GT masks
     # the 16 MB/map table build dominates the ~12544-point gather, so large
-    # maps keep the plain 4-corner gather.
-    if C == 1 and H * W <= 512 * 512:
+    # maps keep the plain 4-corner gather. `quad` overrides the heuristic:
+    # under jax.grad the table build re-runs in the backward pass (the rolls
+    # are re-differentiated), so differentiable call sites may prefer the
+    # plain gather whose backward is 4 small scatter-adds.
+    if quad is None:
+        quad = C == 1 and H * W <= 512 * 512
+    if quad and C == 1:
         def cw(xi, yi, w):
             valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
             return w * valid.astype(im.dtype)
@@ -97,13 +103,16 @@ def grid_sample(im: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = False)
     return out
 
 
-def point_sample(feat: jnp.ndarray, points: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
+def point_sample(feat: jnp.ndarray, points: jnp.ndarray,
+                 align_corners: bool = False,
+                 quad: bool | None = None) -> jnp.ndarray:
     """Sample [B, H, W, C] features at [B, N, 2] xy points in [0, 1].
 
     Equivalent of detectron2's ``point_sample`` used by the point-sampled
     mask losses (reference criterion.py:147-197, matcher.py:96-156).
     """
-    return grid_sample(feat, 2.0 * points - 1.0, align_corners=align_corners)
+    return grid_sample(feat, 2.0 * points - 1.0, align_corners=align_corners,
+                       quad=quad)
 
 
 def point_sample_packed_binary(masks: jnp.ndarray, points: jnp.ndarray,

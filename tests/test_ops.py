@@ -341,6 +341,28 @@ def test_grid_sample_quad_c1_matches_general_path():
         np.testing.assert_allclose(np.asarray(f), np.asarray(g), atol=1e-6)
 
 
+def test_grid_sample_quad_override_equal_and_differentiable():
+    """Explicit quad=True/False must agree with each other and the auto
+    heuristic, in value AND gradient (the override only moves time between
+    a table build and scatter-adds; see CriterionConfig.pred_quad_sample)."""
+    import jax
+
+    from odise_tpu.ops.grid_sample import point_sample
+
+    rng = np.random.RandomState(17)
+    im = jnp.asarray(rng.randn(2, 11, 7, 1).astype(np.float32))
+    pts = jnp.asarray((rng.rand(2, 200, 2) * 1.2 - 0.1).astype(np.float32))
+
+    auto = point_sample(im, pts)
+    for q in (True, False):
+        np.testing.assert_allclose(np.asarray(point_sample(im, pts, quad=q)),
+                                   np.asarray(auto), rtol=1e-6, atol=1e-6)
+    g_true = jax.grad(lambda m: point_sample(m, pts, quad=True).sum())(im)
+    g_false = jax.grad(lambda m: point_sample(m, pts, quad=False).sum())(im)
+    np.testing.assert_allclose(np.asarray(g_true), np.asarray(g_false),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_point_sample_packed_binary_matches_dense():
     """Bit-plane-packed binary sampling must be exact vs the dense float
     path: the corner values are exactly 0/1 so f32 bilinear weighting is

@@ -95,13 +95,24 @@ def main():
     gt_l = jnp.asarray(rng.randint(0, K, (B, T)), jnp.int32)
     valid = jnp.ones((B, T), bool)
 
-    def crit(o_l, o_m, k, approx):
+    # differentiable pred sampling: quad table vs plain 4-corner gather
+    # (the table build re-runs in backward; scatters don't)
+    for q in (True, False):
+        timed(lambda m, c, q=q: jnp.sum(
+            point_sample(m[..., None], c, quad=q)),
+              (flat_pred, pts), f"pred fwd point_sample quad={q}")
+        timed(lambda m, c, q=q: jax.grad(lambda mm: jnp.sum(
+            point_sample(mm[..., None], c, quad=q)))(m).sum(),
+              (flat_pred, pts), f"pred grad point_sample quad={q}")
+
+    def crit(o_l, o_m, k, approx, pred_quad=None):
         return sum(set_criterion(
             {"pred_logits": o_l, "pred_masks": o_m,
              "aux_outputs": [{"pred_logits": o_l, "pred_masks": o_m}
                              for _ in range(9)]},
             {"labels": gt_l, "masks": gt_m, "valid": valid}, k,
-            CriterionConfig(approx_topk=approx)).values())
+            CriterionConfig(approx_topk=approx,
+                            pred_quad_sample=pred_quad)).values())
 
     for approx in (False, True):
         timed(lambda o_l, o_m, k, a=approx: crit(o_l, o_m, k, a),
@@ -111,6 +122,11 @@ def main():
             lambda m: crit(o_l, m, k, a))(o_m).sum(),
               (logits, masks, key),
               f"set_criterion grad x10 approx={approx}", iters=2)
+    for pq in (True, False):
+        timed(lambda o_l, o_m, k, p=pq: jax.grad(
+            lambda m: crit(o_l, m, k, False, pred_quad=p))(o_m).sum(),
+              (logits, masks, key),
+              f"set_criterion grad x10 pred_quad={pq}", iters=2)
 
 
 if __name__ == "__main__":
