@@ -99,8 +99,15 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--no-clip-head", action="store_true")
     ap.add_argument("--impl", default=os.environ.get(
-        "ODISE_TPU_DEFORM_IMPL", "hybrid"),
-        help="deformable-attention impl: hybrid|quad|fused|reference")
+        "ODISE_TPU_DEFORM_IMPL", "quad"),
+        help="deformable-attention impl: quad|hybrid|fused|reference. "
+        "quad is the default for COMPILE-TIME robustness: hybrid's step is "
+        "~12 percent faster (154.7 vs 173.8 ms) but its eval-graph compile "
+        "blew past 589 s when the remote compile service degraded to ~3x "
+        "its usual latency (2026-08-18, NOTES.md) while quad still finished "
+        "(439 s compile, 534 s total) — a recorded number beats a faster "
+        "step that times out. Set ODISE_TPU_DEFORM_IMPL=hybrid on a healthy "
+        "TPU VM with local compilation.")
     ap.add_argument("--no-manifest", action="store_true",
                     help="force the slow eval_shape param path")
     ap.add_argument("--param-storage", default="bf16", choices=["f32", "bf16"],
