@@ -29,6 +29,20 @@ one-hot-matmul path — same split as ``impl="hybrid"``):
 
 Numerics match the XLA quad path: f32 sampling locations / corner weights,
 value-dtype (bf16) row storage, f32 accumulation.
+
+Status (measured on v5e 2026-08-18): WORKS on hardware and, at the default
+config (q_tile=128, FULL loop unroll so Mosaic software-pipelines the VMEM
+loads), is the FASTEST impl at the production encoder shapes (21504
+queries, 1024px): **16.4 ms net vs 21.5 (quad) / 23.2 (hybrid)** the same
+day, compiling in ~12 s. Mosaic constraints hit along the way, worked
+around here: SMEM blocks need an 8-divisible (or full-dim) sublane dim;
+``fori_loop`` lowers only with unroll=1 or a FULL unroll (unroll=1 runs
+40.4 ms — the scalar loop dominates without pipelining); dynamic VMEM
+sublane indices must be provably 8-aligned (hence the aligned 8-row block
+load + one-hot row-select folded into the linear weighting); q_tile=512
+overflows the 16 MB scoped-VMEM stack (16.5 MB). quad/hybrid remain the
+bench/production defaults until the full eval graph is revalidated on
+hardware with this kernel inside.
 """
 
 from __future__ import annotations
@@ -87,14 +101,32 @@ def _level_idx_w4(loc_lvl: jnp.ndarray, a_lvl: jnp.ndarray, h: int, w: int):
 def _make_level_kernel(QT: int, P: int, hd: int, unroll: int):
     S = QT * P
 
-    def kernel(idx_ref, w4_ref, table_ref, out_ref, g_ref):
-        # idx_ref: SMEM [1, S] i32; w4_ref: VMEM [1, S, 4] f32
-        # table_ref: VMEM [1, R_pad, 4*hd]; g_ref: VMEM scratch [S, 4*hd]
+    def kernel(idx_ref, w4_ref, w8_ref, table_ref, out_ref, g8_ref):
+        # idx_ref: SMEM [BH, S] i32 (Mosaic requires the sublane dim of an
+        # SMEM block to be 8-divisible or the full array dim, so the block
+        # carries ALL bh rows and the kernel picks its row by program_id);
+        # w4_ref: VMEM [1, S, 4] f32; w8_ref: VMEM [1, S, 8] f32 one-hot of
+        # idx%8; table_ref: VMEM [1, R_pad, 4*hd]; g8_ref: scratch [S, 8, 4*hd]
+        #
+        # Mosaic cannot load ONE dynamically-indexed VMEM row (the sublane
+        # index must be provably 8-aligned), so each sample loads its ALIGNED
+        # 8-row block and the within-block row choice — which is linear —
+        # folds into the weighting as a one-hot [S, 8] contraction on the VPU.
+        bh = pl.program_id(0)
+
         def body(j, _):
-            g_ref[pl.ds(j, 1), :] = table_ref[0, pl.ds(idx_ref[0, j], 1), :]
+            a8 = pl.multiple_of((idx_ref[bh, j] // 8) * 8, 8)
+            g8_ref[j] = table_ref[0, pl.ds(a8, 8), :]
             return 0
 
+        # Mosaic's fori_loop lowering supports only unroll=1 or a FULL
+        # unroll (unroll == num_steps); full is the default — it is what
+        # lets Mosaic pipeline the loads (16.4 vs 40.4 ms measured)
         jax.lax.fori_loop(0, S, body, 0, unroll=unroll)
+
+        # select each sample's row from its 8-row block (one-hot contraction)
+        rows = jnp.sum(g8_ref[:].astype(jnp.float32)
+                       * w8_ref[0][:, :, None], axis=1)    # [S, 4*hd]
 
         # corner-selector: E[c, lane] = 1 iff lane // hd == c; ONE tiny MXU
         # matmul expands each sample's 4 corner weights to the 128-lane row
@@ -103,7 +135,7 @@ def _make_level_kernel(QT: int, P: int, hd: int, unroll: int):
         E = (lane_c == corner).astype(jnp.float32)
         W = jnp.dot(w4_ref[0], E, preferred_element_type=jnp.float32)  # [S,128]
 
-        p = g_ref[:].astype(jnp.float32) * W
+        p = rows * W
         p = jnp.sum(p.reshape(QT, P, 4 * hd), axis=1)      # reduce points
         out_ref[0] = (p[:, :hd] + p[:, hd:2 * hd]
                       + p[:, 2 * hd:3 * hd] + p[:, 3 * hd:])  # fold corners
@@ -113,8 +145,8 @@ def _make_level_kernel(QT: int, P: int, hd: int, unroll: int):
 
 @functools.partial(jax.jit, static_argnames=("q_tile", "unroll"))
 def _pallas_level_gather(table: jnp.ndarray, idx: jnp.ndarray,
-                         w4: jnp.ndarray, q_tile: int = 256,
-                         unroll: int = 8) -> jnp.ndarray:
+                         w4: jnp.ndarray, q_tile: int = 128,
+                         unroll: int = 0) -> jnp.ndarray:
     """One level's gather+reduce. table [BH, R, 4*hd] (any dtype); idx
     [BH, Lq, P] i32 (< R); w4 [BH, Lq, P, 4] f32. Returns [BH, Lq, hd] f32.
     """
@@ -133,15 +165,25 @@ def _pallas_level_gather(table: jnp.ndarray, idx: jnp.ndarray,
     Lq_pad = Lq + q_pad
     n_tiles = Lq_pad // q_tile
     S = q_tile * P
+    if unroll == 0:
+        # FULL unroll (Mosaic's only alternative to unroll=1): lets Mosaic
+        # software-pipeline the per-sample VMEM block loads — measured 16.4
+        # vs 40.4 ms net at q_tile=128 on v5e. Bigger tiles OOM the 16 MB
+        # scoped-VMEM stack (q_tile=512: 16.5 MB) — 128 is the sweet spot.
+        unroll = S
 
+    idx_flat = idx.reshape(BH, Lq_pad * P)
+    w8 = jax.nn.one_hot(idx_flat % 8, 8, dtype=jnp.float32)
     out = pl.pallas_call(
         _make_level_kernel(q_tile, P, hd, unroll),
         grid=(BH, n_tiles),
         interpret=jax.default_backend() != "tpu",
         in_specs=[
-            pl.BlockSpec((1, S), lambda bh, t: (bh, t),
+            pl.BlockSpec((BH, S), lambda bh, t: (0, t),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, S, 4), lambda bh, t: (bh, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 8), lambda bh, t: (bh, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R + r_pad, four_hd), lambda bh, t: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -149,14 +191,14 @@ def _pallas_level_gather(table: jnp.ndarray, idx: jnp.ndarray,
         out_specs=pl.BlockSpec((1, q_tile, hd), lambda bh, t: (bh, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BH, Lq_pad, hd), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((S, four_hd), table.dtype)],
-    )(idx.reshape(BH, Lq_pad * P), w4.reshape(BH, Lq_pad * P, 4), table)
+        scratch_shapes=[pltpu.VMEM((S, 8, four_hd), table.dtype)],
+    )(idx_flat, w4.reshape(BH, Lq_pad * P, 4), w8, table)
     return out[:, :Lq]
 
 
 def _pallas_forward(value, spatial_shapes, sampling_locations,
                     attention_weights, matmul_max_rows: int = 1024,
-                    q_tile: int = 256, unroll: int = 8):
+                    q_tile: int = 128, unroll: int = 0):
     """Hybrid forward: one-hot matmul for small levels (MXU, same as the XLA
     hybrid path), VMEM-resident Pallas gather for large levels."""
     from ..ms_deform_attn import _matmul_level
