@@ -112,6 +112,11 @@ def main():
                     help="force the slow eval_shape param path")
     ap.add_argument("--param-storage", default="bf16", choices=["f32", "bf16"],
                     help="on-device storage dtype for the (frozen) params")
+    ap.add_argument("--fill", default="zeros", choices=["zeros", "pattern"],
+                    help="param/image fill. 'pattern' = deterministic sin "
+                    "fill (device-side, nothing uploaded) so the checksum is "
+                    "a real cross-impl numerics gate (used to validate the "
+                    "pallas kernel inside the full graph against quad)")
     args = ap.parse_args()
     os.environ["ODISE_TPU_DEFORM_IMPL"] = args.impl
 
@@ -133,7 +138,15 @@ def main():
 
     S = args.image_size
     B = args.batch
-    img = jnp.zeros((B, S, S, 3), jnp.float32)
+    if args.fill == "pattern":
+        # deterministic, device-generated (one eager op): non-trivial
+        # activations everywhere so cross-impl checksums actually test the
+        # numerics, at zero upload cost
+        img = 0.5 + 0.5 * jnp.sin(
+            jnp.arange(B * S * S * 3, dtype=jnp.float32) * 0.37
+        ).reshape(B, S, S, 3)
+    else:
+        img = jnp.zeros((B, S, S, 3), jnp.float32)
     text_raw = jnp.zeros((K, 768), jnp.float32)
     clip_text = jnp.zeros((K, 768), jnp.float32)
     overlap = jnp.zeros((K,), jnp.int32)
@@ -148,7 +161,27 @@ def main():
         try:
             param_arg, unflatten = load_manifest_flat(
                 manifest_path, storage=args.param_storage)
-            log(f"params = flat zero buffers from static manifest "
+            if args.fill == "pattern":
+                # small deterministic weights, fused device-side fill: the
+                # jit fuses arange+sin+cast into the single output buffer
+                # (an eager chain materializes multi-GB f32 intermediates
+                # and OOMs the 16GB HBM). LayerNorms keep activations sane
+                # through the towers.
+                import functools
+
+                @functools.partial(jax.jit, static_argnums=(0, 1))
+                def _fill(n, dt):
+                    x = jnp.arange(n, dtype=jnp.float32)
+                    return (0.02 * jnp.sin(x * 0.001)).astype(dt)
+
+                filled = {}
+                for dt, v in param_arg.items():
+                    n, vdt = v.shape[0], v.dtype
+                    del v
+                    param_arg[dt] = None  # free the zeros before the fill
+                    filled[dt] = _fill(n, vdt)
+                param_arg = filled
+            log(f"params = flat {args.fill} buffers from static manifest "
                 f"({args.param_storage} storage)")
         except Exception as e:  # stale/missing manifest: fall through
             log(f"manifest unavailable ({e!r}); falling back to eval_shape")
@@ -187,26 +220,35 @@ def main():
         pan = jax.vmap(lambda c, m: panoptic_inference(
             c, m, thing_mask, object_mask_threshold=0.0, overlap_threshold=0.8)
         )(mask_cls, mask_pred)
-        # scalar checksum: forces real execution each iteration when fetched
+        # scalar checksums: force real execution each iteration when fetched
         # (block_until_ready alone is not a reliable barrier through the axon
-        # TPU relay); panoptic map stays on device otherwise.
-        return (jnp.sum(sem.astype(jnp.float32))
-                + jnp.sum(pan.panoptic_seg) + jnp.sum(pan.num_segments))
+        # TPU relay); panoptic map stays on device otherwise. sem_sum is a
+        # CONTINUOUS function of the logits, so with --fill pattern it is a
+        # cross-impl numerics gate (pan sums go through argmaxes and may
+        # legitimately flip on fp-reassociation-level diffs).
+        return (jnp.sum(sem.astype(jnp.float32)),
+                jnp.sum(pan.panoptic_seg) + jnp.sum(pan.num_segments))
+
+    def fetch():
+        sem_sum, pan_sum = eval_step(param_arg, img, text_raw, clip_text,
+                                     overlap)
+        return float(sem_sum), float(pan_sum)
 
     log("compiling eval graph")
     t_compile0 = time.perf_counter()
-    float(eval_step(param_arg, img, text_raw, clip_text, overlap))
+    sem_sum, pan_sum = fetch()
     compile_s = time.perf_counter() - t_compile0
-    log(f"eval graph compiled+first-run in {compile_s:.1f}s")
+    log(f"eval graph compiled+first-run in {compile_s:.1f}s; "
+        f"checksums sem={sem_sum!r} pan={pan_sum!r}")
 
     for i in range(args.warmup):
-        float(eval_step(param_arg, img, text_raw, clip_text, overlap))
+        fetch()
         log(f"warmup {i + 1}/{args.warmup}")
 
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        float(eval_step(param_arg, img, text_raw, clip_text, overlap))
+        fetch()
         times.append(time.perf_counter() - t0)
     # median, not mean: the shared chip + relay produce occasional multi-x
     # outlier iterations (queue drains, host hiccups) that say nothing about
@@ -234,6 +276,9 @@ def main():
             "relay_rtt_ms": round(rtt * 1000, 1),
             "step_ms": round(per_iter * 1000, 1),
             "total_wall_s": round(time.perf_counter() - _T0, 1),
+            "fill": args.fill,
+            "checksum_sem": sem_sum,
+            "checksum_pan": pan_sum,
             "device": str(jax.devices()[0]),
         },
     }))

@@ -22,8 +22,18 @@ import jax.numpy as jnp
 @dataclasses.dataclass(frozen=True)
 class GroundingConfig:
     loss_weight: float = 1.0
-    collect_mode: Optional[str] = "diff"  # "diff" | None (single device)
+    # "diff": gradient-carrying all_gather (reference diffdist, odise.py:93-118)
+    # "concat": no-grad all_gather (reference concat_all_gather, odise.py:64-90)
+    #   — forward values identical to "diff"; gradients flow only through the
+    #   LOCAL factors of each similarity product (odise.py:855-858)
+    # None: single-device (no collective)
+    collect_mode: Optional[str] = "diff"
     deep_supervision: bool = True
+
+    def __post_init__(self):
+        if self.collect_mode not in ("diff", "concat", None):
+            raise ValueError(f"collect_mode {self.collect_mode!r} not in "
+                             "('diff', 'concat', None)")
 
 
 def _normalize(x):
@@ -42,9 +52,15 @@ def _one_layer_loss(outputs, word_valid_mask, cfg, axis_name):
     w = word_embed.reshape(B * K, C)
 
     if cfg.collect_mode is not None and axis_name is not None:
-        # differentiable all-gather over the data axis
+        # all-gather over the data axis: differentiable for "diff" (the
+        # diffdist path), stop-gradient for "concat" (the reference's
+        # no-grad concat_all_gather — gradients then flow only through the
+        # LOCAL factor of each similarity product)
         gm = jax.lax.all_gather(m, axis_name).reshape(-1, C)  # [W*B*Q, C]
         gw = jax.lax.all_gather(w, axis_name).reshape(-1, C)
+        if cfg.collect_mode == "concat":
+            gm = jax.lax.stop_gradient(gm)
+            gw = jax.lax.stop_gradient(gw)
         rank = jax.lax.axis_index(axis_name)
         GB = gm.shape[0] // Q
         valid = jnp.any(word_valid_mask, axis=-1)  # [B]

@@ -19,12 +19,15 @@ What maps to what:
 * ``comm.is_main_process()``          -> `is_main_process()`
 * ``comm.synchronize()``              -> `sync_global_devices(tag)`
 
-Evaluation in a multi-host run executes on the main process's local devices
-(already data-parallel over them, models/wrapper.py); the other hosts wait
-at a barrier. Sharding the val set across hosts (the reference's DDP eval)
-would merge per-host sufficient statistics with
-`multihost_utils.process_allgather` — deliberately not implemented blind: it
-cannot be executed (hence tested) on a single-host image.
+Evaluation in a multi-host run shards the val set across hosts exactly like
+the reference's DDP eval (reference tools/train_net.py:126-135: every rank
+evaluates a shard, d2 evaluators gather on rank 0): each host runs its
+records[process_index::process_count] slice on its local devices, and the
+evaluators' sufficient statistics (semantic confusion matrix, PQStat
+per-category counts, per-(image,cat) instance match entries) are merged via
+`gather_pickled` (process_allgather of length-prefixed pickled state) before
+`evaluate()`. Tested with two real localhost CPU processes in
+tests/test_multihost.py.
 
 Single-process behavior is identical by construction: every helper
 degenerates to the local path when ``jax.process_count() == 1``, so the same

@@ -175,3 +175,85 @@ def test_batched_assignment_matches_per_layer():
     for i in range(costs.shape[0]):
         single = np.asarray(assign_from_cost(costs[i:i + 1]))[0]
         np.testing.assert_array_equal(batched[i], single)
+
+
+def test_grounding_concat_mode_forward_equals_diff_grads_local_only():
+    """collect_mode="concat" (reference concat_all_gather, odise.py:64-90,
+    855-858): forward values identical to "diff"; gradients flow ONLY through
+    the local factor of each similarity product (the gathered copies are
+    stop-gradient). Verified against an inline oracle that computes the same
+    loss with the gathered tensors as constants."""
+    devices = jax.devices()
+    if len(devices) < 2:
+        import pytest
+        pytest.skip("needs multi-device")
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    n = len(devices)
+    b = 2                      # per-shard batch
+    B, Q, K, C = n * b, 4, 3, 8
+    rng = np.random.RandomState(2)
+    me = jnp.asarray(rng.randn(B, Q, C), jnp.float32)
+    we = jnp.asarray(rng.randn(B, K, C), jnp.float32)
+    # one invalid image exercises the weighted-CE branch
+    valid = jnp.asarray(np.arange(B) != 1).reshape(B, 1) * jnp.ones((B, K), bool)
+    scale = jnp.asarray(10.0)
+    mesh = Mesh(np.array(devices), ("data",))
+
+    def make_sharded(mode):
+        def f(me, we, v):
+            loss = mask_grounding_criterion(
+                {"mask_embed": me, "word_embed": we, "logit_scale": scale},
+                v, GroundingConfig(collect_mode=mode), axis_name="data",
+            )["loss_mask_word"]
+            return jax.lax.pmean(loss, "data")
+
+        return shard_map(f, mesh=mesh,
+                         in_specs=(P("data"), P("data"), P("data")),
+                         out_specs=P())
+
+    loss_diff = float(make_sharded("diff")(me, we, valid))
+    loss_concat = float(make_sharded("concat")(me, we, valid))
+    np.testing.assert_allclose(loss_concat, loss_diff, rtol=1e-5)
+
+    # ---- oracle: same math, gathered copies as constants ----
+    from odise_tpu.models.helper import l2_normalize
+
+    def oracle(me, we):
+        mn = l2_normalize(me).reshape(B * Q, C)
+        wn = l2_normalize(we).reshape(B * K, C)
+        gm = jax.lax.stop_gradient(mn)
+        gw = jax.lax.stop_gradient(wn)
+        gvalid = jnp.any(valid, axis=-1)  # [B] global
+        total = 0.0
+        for r in range(n):
+            m_loc = mn[r * b * Q:(r + 1) * b * Q]
+            w_loc = wn[r * b * K:(r + 1) * b * K]
+            v_loc = gvalid[r * b:(r + 1) * b]
+            sim_gmw = (gm @ w_loc.T * scale).reshape(B, Q, b, K)
+            s1 = (jax.nn.softmax(sim_gmw, 1) * sim_gmw).sum(1).mean(-1)  # [B,b]
+            sim_mgw = (m_loc @ gw.T * scale).reshape(b, Q, B, K)
+            s2 = (jax.nn.softmax(sim_mgw, 1) * sim_mgw).sum(1).mean(-1)  # [b,B]
+            labels = jnp.arange(b) + b * r
+            lp1 = jax.nn.log_softmax(s1.T, axis=-1)
+            l1 = -jnp.take_along_axis(lp1, labels[:, None], -1)[..., 0]
+            l1 = (l1 * v_loc).mean()
+            lp2 = jax.nn.log_softmax(s2, axis=-1)
+            l2 = -jnp.take_along_axis(lp2, labels[:, None], -1)[..., 0]
+            wsum = jnp.take(gvalid.astype(l2.dtype), labels)
+            l2 = jnp.sum(l2 * wsum) / jnp.clip(jnp.sum(wsum), 1e-6)
+            total = total + 0.5 * (l1 + l2)
+        return total / n
+
+    g_concat = jax.grad(lambda m, w: make_sharded("concat")(m, w, valid),
+                        argnums=(0, 1))(me, we)
+    g_oracle = jax.grad(oracle, argnums=(0, 1))(me, we)
+    for a, o in zip(g_concat, g_oracle):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(o),
+                                   rtol=1e-4, atol=1e-6)
+
+    # and the diff-mode gradient must carry the extra cross-shard terms
+    g_diff = jax.grad(lambda m, w: make_sharded("diff")(m, w, valid),
+                      argnums=(0, 1))(me, we)
+    assert float(jnp.abs(g_diff[0] - g_concat[0]).max()) > 1e-6

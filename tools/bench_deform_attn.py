@@ -41,7 +41,9 @@ def main():
 
     rng = np.random.RandomState(0)
     value = jnp.asarray(rng.randn(B, Lv, H, hd), dtype)
-    loc = jnp.asarray(rng.rand(B, Lq, H, len(shapes), P, 2), dtype)
+    # production keeps sampling locations f32 (pixel_decoder.py; bf16 locs
+    # cost ~0.25px at the 128px level — measured ablation in NOTES.md)
+    loc = jnp.asarray(rng.rand(B, Lq, H, len(shapes), P, 2), jnp.float32)
     w = jnp.asarray(rng.rand(B, Lq, H, len(shapes), P), dtype)
 
     rtt_fn = jax.jit(lambda x: jnp.sum(x))
@@ -68,14 +70,16 @@ def main():
               f"  (raw {dt*1000:.1f}, compile {compile_s:.1f}s)", flush=True)
 
     for impl in args.impls.split(","):
-        if impl.startswith("pallas:"):  # pallas:<q_tile>:<unroll>
+        if impl.startswith("pallas:"):  # pallas:<q_tile>:<unroll>[:<mmr>]
             from odise_tpu.ops.pallas.ms_deform_attn_kernel import \
                 _pallas_forward
 
-            _, qt, un = impl.split(":")
-            bench(impl, lambda v, l, a, qt=int(qt), un=int(un):
+            parts = impl.split(":")
+            qt, un = int(parts[1]), int(parts[2])
+            mmr = int(parts[3]) if len(parts) > 3 else 1024
+            bench(impl, lambda v, l, a, qt=qt, un=un, mmr=mmr:
                   _pallas_forward(v, tuple(shapes), l, a, q_tile=qt,
-                                  unroll=un))
+                                  unroll=un, matmul_max_rows=mmr))
         else:
             bench(impl, lambda v, l, a, impl=impl:
                   ms_deform_attn(v, shapes, l, a, impl=impl))
