@@ -122,6 +122,38 @@ def compare_panoptic(ours: np.ndarray, ref: np.ndarray,
     return frac >= min_agreement
 
 
+def vocab_capture(model, variables, img: np.ndarray, ref: dict) -> dict:
+    """Our side of the reference's open-vocabulary capture.
+
+    tools/ref_capture_torch.py saves the reference's raw text embeddings
+    (``vocab_text_raw`` for the category head, ``vocab_clip_text`` for the
+    clip head) alongside the ensembled ``clip_mask_cls``; feeding those
+    SAME embeddings into forward_eval isolates the vision-side numerics —
+    text-tower drift is already covered by the tap_/backbone_ diffs."""
+    import json
+
+    import jax.numpy as jnp
+
+    from odise_tpu.models.odise import category_overlapping_mask
+
+    labels = tuple(tuple(l) for l in json.loads(
+        np.asarray(ref["vocab_labels"]).tobytes().decode()))
+    text_raw = jnp.asarray(ref["vocab_text_raw"], jnp.float32)
+    clip_text = ref.get("vocab_clip_text")
+    overlap = None
+    if clip_text is not None and getattr(model, "clip_head", None) is not None:
+        clip_text = jnp.asarray(clip_text, jnp.float32)
+        overlap = jnp.asarray(
+            category_overlapping_mask(model.train_labels, labels))
+    else:
+        clip_text = None
+    mask_cls, _ = model.apply(
+        variables, jnp.asarray(np.asarray(img, np.float32)[None]),
+        text_raw, labels, clip_text, labels if clip_text is not None else None,
+        overlap, method=type(model).forward_eval)
+    return {"clip_mask_cls": np.asarray(mask_cls, np.float32)}
+
+
 def metrics_self_check() -> bool:
     """Device-statistic eval path == host postprocessing path on metrics.
 
@@ -320,6 +352,8 @@ def main():
     if not args.ref:
         ap.error("--ref is required (or use --self-check)")
     ref = dict(np.load(args.ref))
+    if "vocab_text_raw" in ref:
+        ours.update(vocab_capture(model, variables, img, ref))
     ok = diff_captures(ours, ref)
     if "panoptic" in ref:
         ok &= compare_panoptic(panoptic_map(model, variables, img),
