@@ -91,6 +91,41 @@ def load_manifest_flat(path, storage="f32"):
     return flats, unflatten
 
 
+def run_with_fallback(cmds, budget_s: float, reserve_s: float, log=log):
+    """Run candidate bench subprocesses in order; return the first JSON line.
+
+    ``cmds`` is a list of ``(name, argv)``. Every attempt except the last
+    runs under a timeout of (remaining budget - reserve), so a hung or
+    degraded compile (the 2026-08-18 incident: remote compile service at
+    ~3x latency pushed a 180 s compile past the driver budget) is killed
+    with enough budget left for the robust fallback to produce a recorded
+    number. The last attempt runs without a timeout — a late number beats
+    none. Pure orchestration; tested with stub commands in
+    tests/test_bench_fallback.py.
+    """
+    import subprocess
+
+    t_start = time.perf_counter()
+    for i, (name, argv) in enumerate(cmds):
+        remaining = budget_s - (time.perf_counter() - t_start)
+        last = i == len(cmds) - 1
+        timeout = None if last else max(remaining - reserve_s, 30.0)
+        log(f"attempt [{name}] timeout="
+            f"{'none' if timeout is None else f'{timeout:.0f}s'}")
+        try:
+            proc = subprocess.run(argv, stdout=subprocess.PIPE,
+                                  timeout=timeout)
+        except subprocess.TimeoutExpired:
+            log(f"[{name}] exceeded its budget slice; falling back")
+            continue
+        line = next((ln for ln in proc.stdout.decode().splitlines()
+                     if ln.startswith("{")), None)
+        if proc.returncode == 0 and line:
+            return line
+        log(f"[{name}] failed rc={proc.returncode}; falling back")
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
@@ -99,15 +134,23 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--no-clip-head", action="store_true")
     ap.add_argument("--impl", default=os.environ.get(
-        "ODISE_TPU_DEFORM_IMPL", "quad"),
-        help="deformable-attention impl: quad|hybrid|fused|reference. "
-        "quad is the default for COMPILE-TIME robustness: hybrid's step is "
-        "~12 percent faster (154.7 vs 173.8 ms) but its eval-graph compile "
-        "blew past 589 s when the remote compile service degraded to ~3x "
-        "its usual latency (2026-08-18, NOTES.md) while quad still finished "
-        "(439 s compile, 534 s total) — a recorded number beats a faster "
-        "step that times out. Set ODISE_TPU_DEFORM_IMPL=hybrid on a healthy "
-        "TPU VM with local compilation.")
+        "ODISE_TPU_DEFORM_IMPL", "auto"),
+        help="deformable-attention impl: auto|quad|hybrid|fused|pallas|"
+        "reference. 'auto' (default) orchestrates subprocesses: hybrid "
+        "(fastest measured step) under a timeout, then quad (most robust "
+        "compile) as fallback — with the default-on persistent compile "
+        "cache, warm reruns of either finish in well under a minute.")
+    ap.add_argument("--budget", type=float, default=560.0,
+                    help="auto mode: total wall budget (s) to split across "
+                    "attempts (driver budget minus margin)")
+    ap.add_argument("--reserve", type=float, default=230.0,
+                    help="auto mode: seconds reserved for the fallback "
+                    "attempt when timing out an earlier one")
+    ap.add_argument("--batched", type=int, default=4,
+                    help="additionally measure batch-N throughput after the "
+                    "B=1 loop (reported in detail.batched; 0 disables; "
+                    "skipped automatically if the remaining budget looks "
+                    "too thin for another shape's compile)")
     ap.add_argument("--no-manifest", action="store_true",
                     help="force the slow eval_shape param path")
     ap.add_argument("--param-storage", default="bf16", choices=["f32", "bf16"],
@@ -118,16 +161,43 @@ def main():
                     "a real cross-impl numerics gate (used to validate the "
                     "pallas kernel inside the full graph against quad)")
     args = ap.parse_args()
+
+    if args.impl == "auto":
+        passthrough = []
+        skip_next = False
+        for a in sys.argv[1:]:
+            if skip_next:
+                skip_next = False
+                continue
+            if a == "--impl":
+                skip_next = True
+                continue
+            if a.startswith("--impl="):
+                continue
+            passthrough.append(a)
+        cmds = [(impl, [sys.executable, os.path.abspath(__file__),
+                        "--impl", impl] + passthrough)
+                for impl in ("hybrid", "quad")]
+        line = run_with_fallback(cmds, args.budget, args.reserve)
+        if line is None:
+            log("every impl attempt failed")
+            sys.exit(1)
+        print(line)
+        return
     os.environ["ODISE_TPU_DEFORM_IMPL"] = args.impl
 
     log(f"importing jax (impl={args.impl})")
     import jax
     import jax.numpy as jnp
 
+    from odise_tpu.engine.defaults import enable_compilation_cache
     from odise_tpu.model_zoo.factory import build_category_odise
     from odise_tpu.models.inference import panoptic_inference, semantic_inference
 
-    log(f"jax ready, device={jax.devices()[0]}")
+    # warm reruns skip the 2-3 min eval-graph compile entirely (the cache
+    # round-trips serialized TPU executables even through the axon relay)
+    cache_dir = enable_compilation_cache()
+    log(f"jax ready, device={jax.devices()[0]}, compile cache={cache_dir}")
 
     K = 133
     labels = tuple((f"category {i}",) for i in range(K))
@@ -260,6 +330,57 @@ def main():
         f"(min {times[0] * 1000:.1f}, max {times[-1] * 1000:.1f}) "
         f"-> {per_iter * 1000:.1f} ms/img")
 
+    batched = None
+    if args.batched > 1:
+        # realistic serving/eval configuration: bucketed same-shape batches
+        # (tools/train_net.py groups eval images the same way); measured in
+        # the same process so it shares the warm trunk weights
+        # only attempt when the remaining slice leaves room for the extra
+        # shape's compile: in auto mode this child may be running under a
+        # (budget - reserve) timeout, and losing the B=1 number to a slow
+        # batched compile would be strictly worse than skipping
+        elapsed = time.perf_counter() - _T0
+        if elapsed > args.budget - args.reserve - 150:
+            log(f"skipping batch-{args.batched} measurement "
+                f"(elapsed {elapsed:.0f}s too close to budget)")
+            batched = {"batch": args.batched, "skipped": True}
+        else:
+            try:
+                Bb = args.batched
+                if args.fill == "pattern":
+                    img_b = 0.5 + 0.5 * jnp.sin(
+                        jnp.arange(Bb * S * S * 3, dtype=jnp.float32) * 0.37
+                    ).reshape(Bb, S, S, 3)
+                else:
+                    img_b = jnp.zeros((Bb, S, S, 3), jnp.float32)
+
+                def fetch_b():
+                    a, b = eval_step(param_arg, img_b, text_raw, clip_text,
+                                     overlap)
+                    return float(a), float(b)
+
+                log(f"compiling batch-{Bb} eval graph")
+                t0 = time.perf_counter()
+                fetch_b()
+                compile_b = time.perf_counter() - t0
+                log(f"batch-{Bb} graph compiled+first-run in {compile_b:.1f}s")
+                fetch_b()  # warmup
+                tb = []
+                for _ in range(max(args.iters // 2, 3)):
+                    t0 = time.perf_counter()
+                    fetch_b()
+                    tb.append(time.perf_counter() - t0)
+                tb.sort()
+                med_b = max(tb[len(tb) // 2] - rtt, 1e-6)
+                batched = {"batch": Bb, "step_ms": round(med_b * 1000, 1),
+                           "img_per_sec": round(Bb / med_b, 4),
+                           "compile_s": round(compile_b, 1)}
+                log(f"batch-{Bb}: {med_b * 1000:.1f} ms/step -> "
+                    f"{Bb / med_b:.2f} img/s")
+            except Exception as e:  # e.g. HBM OOM at large batch
+                log(f"batch-{args.batched} measurement failed: {e!r}")
+                batched = {"batch": args.batched, "error": repr(e)[:200]}
+
     imgs_per_sec = B / per_iter
     print(json.dumps({
         "metric": "img_per_sec_per_chip_1024px_open_vocab_panoptic_inference",
@@ -279,6 +400,7 @@ def main():
             "fill": args.fill,
             "checksum_sem": sem_sum,
             "checksum_pan": pan_sum,
+            "batched": batched,
             "device": str(jax.devices()[0]),
         },
     }))
