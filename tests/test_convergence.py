@@ -1,0 +1,49 @@
+"""The in-image quality loop (VERDICT r3 #1): the full training recipe must
+LEARN segmentation, measured through the full bucketed device-stat eval.
+
+Trains tiny-but-complete CategoryODISE on the synthetic shapes task (LSJ
+mapper, on-device Hungarian matcher, aux losses, point-sampled mask/dice,
+AdamW + grad clip + warmup/multistep LR) and asserts loss drops and
+PQ/mIoU/AP rise far above the untrained baseline. A wrong-sign matcher
+cost, a mis-matched assignment, a bad loss weight, or a broken gradient
+path cannot pass this — finiteness checks can't catch those (reference
+dynamics mirrored: criterion.py:147-252, matcher.py:96-156).
+
+Calibration (this machine, 1 CPU core): 100 steps @ lr 2e-3 reaches
+PQ 63.4 / mIoU 83.1 / AP 58.8 (loss -65%) in ~5 min; 200 steps reaches
+PQ 85.7 / mIoU 86.8 (tools/convergence.py). Thresholds sit well below the
+calibrated outcomes so data-order jitter cannot flake the test.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+
+def test_synthetic_convergence(tmp_path):
+    from convergence import run_convergence
+
+    result = run_convergence(
+        str(tmp_path), steps=100, batch=4, lr=2e-3, n_train=32, n_val=8,
+        seed=0, eval_before=True, dataset_name="_synth_conv_test")
+
+    before = result["metrics_before"]
+    after = result["metrics_after"]
+
+    # loss must actually go down, not just stay finite
+    assert result["loss_drop_pct"] >= 40.0, result
+
+    # eval metrics through the full device-stat stack must rise from ~chance
+    assert after["PQ"] >= 35.0, (before["PQ"], after["PQ"])
+    assert after["mIoU"] >= 50.0, (before["mIoU"], after["mIoU"])
+    assert after["AP"] >= 20.0, (before["AP"], after["AP"])
+    assert after["PQ"] >= before["PQ"] + 30.0
+    assert after["mIoU"] >= before["mIoU"] + 30.0
+
+    # the untrained baseline really is ~chance (guards against a test that
+    # would pass with no training at all)
+    assert before["PQ"] < 20.0
+    assert np.isfinite(result["loss_first10_mean"])
