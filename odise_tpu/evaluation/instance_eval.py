@@ -80,6 +80,14 @@ class InstanceSegEvaluator:
         img_id = self._img_counter
         self._img_counter += 1
         pred_scores = np.asarray(pred_scores, np.float64)
+        # instance_inference pads its top-k with stuff/invalid rows at
+        # score 0 (models/inference.py:165-169); callers must drop them
+        # (tools/train_net.py filters score > 0) — scoring a padded row as
+        # a real detection would silently depress AP
+        if pred_scores.size and pred_scores.min() <= 0.0:
+            raise ValueError(
+                "process_from_counts received score<=0 rows — filter the "
+                "device-eval top-k padding (score > 0) before scoring")
         pred_classes = np.asarray(pred_classes)
         gt_classes = np.asarray(gt_classes)
         dt_areas = np.asarray(dt_areas, np.float64)
@@ -109,6 +117,15 @@ class InstanceSegEvaluator:
                 "gt_crowd": gt_iscrowd[gsel],
                 "ious": ious_all[np.ix_(dsel, gsel)],
             }
+
+    def merge_state(self, by_img_cat: dict, img_counter: int):
+        """Multi-host eval: fold another host's per-(image, cat) entries in,
+        re-keying image ids past this evaluator's local counter so shards
+        never collide (the counterpart of COCOeval's rank-merged img_ids)."""
+        base = self._img_counter
+        for (img, c), e in by_img_cat.items():
+            self._by_img_cat[(base + int(img), int(c))] = e
+        self._img_counter = base + int(img_counter)
 
     def _match_img_cat(self, e: dict, area_rng) -> dict:
         """Greedy COCOeval-style matching for one (image, cat, areaRng)."""

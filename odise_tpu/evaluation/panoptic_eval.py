@@ -189,6 +189,11 @@ class PanopticEvaluator:
         """Device-eval path: intersection-count matrix instead of id maps."""
         self.stat += pq_compute_from_counts(counts, gt_segments, pred_segments)
 
+    def merge_stat(self, stat: PQStat):
+        """Multi-host eval: fold another host's accumulated PQStat in
+        (the counterpart of panopticapi's rank merge in d2 evaluators)."""
+        self.stat += stat
+
     def evaluate(self) -> Dict[str, float]:
         res = self.stat.pq_average(self.categories)
         out = {"PQ": res["pq"], "SQ": res["sq"], "RQ": res["rq"]}

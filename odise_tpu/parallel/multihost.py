@@ -47,6 +47,7 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 _INITIALIZED = False
+_SYNC_SEQ = 0
 
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
@@ -76,8 +77,22 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         kwargs["num_processes"] = int(num_processes)
     if process_id is not None:
         kwargs["process_id"] = int(process_id)
+    # processes can reach exit minutes apart (post-eval metric derivation is
+    # per-host work; on an oversubscribed CPU test box the skew is large), so
+    # give the coordination-service shutdown barrier generous headroom
+    kwargs["shutdown_timeout_seconds"] = int(
+        os.environ.get("ODISE_TPU_SHUTDOWN_TIMEOUT", "900"))
     jax.distributed.initialize(**kwargs)
     _INITIALIZED = True
+    # establish the cross-process collective context NOW, while every rank
+    # sits at the same rendezvous point: the CPU backend's Gloo context
+    # initializes lazily at the FIRST collective, and if ranks reach it
+    # minutes apart (skewed compiles) its 30 s key-exchange window expires.
+    # Doubles as a fail-fast rendezvous barrier (the reference's post-launch
+    # dist.barrier(), d2 launch.py).
+    from jax.experimental import multihost_utils
+
+    multihost_utils.process_allgather(np.zeros((1,), np.float32))
     logger.info("multihost: process %d/%d, %d local + %d global devices",
                 jax.process_index(), jax.process_count(),
                 len(jax.local_devices()), len(jax.devices()))
@@ -90,15 +105,75 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
-def sync_global_devices(tag: str) -> None:
+def sync_global_devices(tag: str, timeout_s: int = 900) -> None:
     """Barrier across all hosts (no-op single-process); the counterpart of
-    the reference's ``comm.synchronize()`` rank-0 download barriers."""
+    the reference's ``comm.synchronize()`` rank-0 download barriers.
+
+    Uses the coordination-service barrier (pure RPC, long timeout) rather
+    than a device collective: hosts can arrive at end-of-phase barriers
+    minutes apart (independent compiles, per-host metric derivation), which
+    would overrun a Gloo/ICI collective's operation deadline.
+    """
     import jax
 
-    if jax.process_count() > 1:
+    if jax.process_count() <= 1:
+        return
+    client = None
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+    except Exception:  # pragma: no cover - internal layout changed
+        client = None
+    if client is not None:
+        # barrier ids are single-use in the coordination service; the call
+        # sequence is SPMD-identical on every host, so a local counter makes
+        # ids unique AND matching across processes
+        global _SYNC_SEQ
+        _SYNC_SEQ += 1
+        client.wait_at_barrier(f"odise_sync:{_SYNC_SEQ}:{tag}",
+                               timeout_s * 1000)
+    else:  # pragma: no cover
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(tag)
+
+
+def gather_pickled(obj) -> list:
+    """All-gather an arbitrary picklable object across processes.
+
+    The multi-host counterpart of the reference's d2 ``comm.gather`` of
+    evaluator predictions (d2 evaluators gather per-rank lists on rank 0
+    before computing metrics). Variable-size payloads ride
+    `multihost_utils.process_allgather`, which needs equal shapes per
+    process: gather byte lengths first, pad to the max, gather, trim.
+
+    Returns the per-process list (index = process_index) on EVERY process,
+    so all hosts compute identical merged metrics (no broadcast needed).
+    Single-process: returns ``[obj]`` without touching any backend
+    collective.
+    """
+    import pickle
+
+    import jax
+
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    # align ranks via the RPC barrier first: they may arrive minutes apart
+    # (independent eval compiles), which would overrun the CPU backend's
+    # collective deadline, while the coordination barrier waits patiently
+    sync_global_devices("gather_pickled")
+    buf = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray([buf.size], np.int64))            # [P, 1]
+    m = int(sizes.max())
+    padded = np.zeros((m,), np.uint8)
+    padded[:buf.size] = buf
+    bufs = multihost_utils.process_allgather(padded)  # [P, m]
+    return [pickle.loads(np.asarray(bufs[i, : int(sizes[i, 0])]).tobytes())
+            for i in range(bufs.shape[0])]
 
 
 def global_batch_from_local(local_batch: Dict[str, np.ndarray], mesh,

@@ -44,3 +44,103 @@ def test_global_batch_feeds_jit():
     batch = {"x": np.ones((8, 4), np.float32)}
     got = global_batch_from_local(batch, mesh)
     assert float(jax.jit(lambda b: b["x"].sum())(got)) == 32.0
+
+
+def test_gather_pickled_single_process():
+    from odise_tpu.parallel.multihost import gather_pickled
+
+    obj = {"a": np.arange(3), "b": "text"}
+    out = gather_pickled(obj)
+    assert len(out) == 1
+    np.testing.assert_array_equal(out[0]["a"], obj["a"])
+
+
+def test_two_process_eval_sharding_matches_single_process(tmp_path):
+    """Real multi-host eval: two OS processes join a jax.distributed CPU
+    cluster, each evaluates HALF the synthetic val set, and the merged
+    metrics from BOTH processes must equal a single-process evaluation of
+    the full set (reference DDP eval semantics, tools/train_net.py:126-135).
+    """
+    import json
+    import os
+    import pickle
+    import socket
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import train_net
+
+    from odise_tpu.config import ConfigDict
+    from odise_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+    from odise_tpu.data.synthetic import (
+        SYNTH_LABELS, make_shapes_records, synth_categories)
+    from odise_tpu.model_zoo.factory import build_category_odise
+
+    records = make_shapes_records(str(tmp_path / "val"), 4, size=64, seed=7)
+    records_pkl = str(tmp_path / "records.pkl")
+    with open(records_pkl, "wb") as f:
+        pickle.dump(records, f)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_eval_worker.py")
+    env = dict(os.environ)
+    env.pop("ODISE_TPU_MULTIHOST", None)
+    procs = []
+    outs = [str(tmp_path / f"out{i}.json") for i in range(2)]
+    for i in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port),
+             records_pkl, outs[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    tails = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        tails.append(out.decode(errors="replace")[-2000:])
+    for p, tail in zip(procs, tails):
+        assert p.returncode == 0, tail
+
+    # single-process oracle over the FULL set (this pytest process)
+    name = "_mh_eval_oracle"
+    DatasetCatalog.remove(name)
+    DatasetCatalog.register(name, lambda: records)
+    MetadataCatalog.get(name).set(ignore_label=255,
+                                  categories=synth_categories())
+    import jax
+    import jax.numpy as jnp
+
+    model = build_category_odise("tiny", train_labels=SYNTH_LABELS,
+                                 with_clip_head=False, use_checkpoint=False,
+                                 slide_training=False)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((len(SYNTH_LABELS), 16)), method=type(model).init_full)
+    cfg = ConfigDict(
+        dataloader=ConfigDict(
+            wrapper=ConfigDict(
+                labels=[list(l) for l in SYNTH_LABELS],
+                dataset_name=name,
+                semantic_on=True, panoptic_on=True, instance_on=True,
+            ),
+            eval_short_side=64,
+            eval_max_size=128,
+        ),
+    )
+    oracle = {k: float(v) for k, v in train_net.do_test(
+        cfg, model, variables)["main"].items() if isinstance(v, (int, float))}
+    DatasetCatalog.remove(name)
+
+    skip_keys = {"s_per_img"}  # timing is per-host, not mergeable
+    for out_path in outs:
+        with open(out_path) as f:
+            got = json.load(f)
+        assert got["images"] == oracle["images"] == 4
+        for k, v in oracle.items():
+            if k in skip_keys:
+                continue
+            np.testing.assert_allclose(
+                got[k], v, rtol=1e-5, atol=1e-7,
+                err_msg=f"metric {k} diverged: merged={got[k]} oracle={v}")

@@ -118,7 +118,10 @@ def _infer_stream(prepped_iter, infer, n_data):
             yield p, mc[0], mp[0]
         return
 
-    dev0 = jax.devices()[0]
+    # local_devices, not devices: in a multi-process runtime devices()[0]
+    # is process 0's chip, which other processes cannot address — committing
+    # outputs there breaks every downstream statistic kernel's host fetch
+    dev0 = jax.local_devices()[0]
     buffers = {}
 
     def flush(buf):
@@ -208,6 +211,15 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
             continue
         if max_images > 0:
             records = records[:max_images]
+
+        # multi-host: every process evaluates a val-set shard on its local
+        # devices and the evaluators' sufficient statistics are merged below
+        # (the reference's DDP eval: each rank a shard, d2 evaluators merge
+        # on rank 0 — reference tools/train_net.py:126-135)
+        eval_multihost = (jax.process_count() > 1
+                          and cfg.dataloader.get("eval_multihost", True))
+        if eval_multihost:
+            records = records[jax.process_index()::jax.process_count()]
 
         # vocabulary text embeds come from the FROZEN text tower, so they are
         # identical at every eval tick -> cache across do_test calls; the
@@ -512,6 +524,32 @@ def do_test(cfg, model, variables, max_images=-1, final_iter=True):
         dt = time.perf_counter() - t_start
         if runner is not None:
             sem_ev.add_confusion(runner.flush_confusion())
+        n_local = n
+        if eval_multihost:
+            # merge per-host sufficient statistics; every host ends up with
+            # identical evaluator state, so metrics agree with a
+            # single-process run over the full val set bit-for-bit
+            from odise_tpu.parallel.multihost import gather_pickled
+
+            states = gather_pickled({
+                "conf": sem_ev.conf if semantic_on else None,
+                "pq": pan_ev.stat if panoptic_on else None,
+                "inst": ((inst_ev._by_img_cat, inst_ev._img_counter)
+                         if instance_on else None),
+                "n": n,
+                "fallback": n_fallback,
+            })
+            for i, st in enumerate(states):
+                if i == jax.process_index():
+                    continue  # own stats already live in the evaluators
+                if semantic_on and st["conf"] is not None:
+                    sem_ev.add_confusion(st["conf"])
+                if panoptic_on and st["pq"] is not None:
+                    pan_ev.merge_stat(st["pq"])
+                if instance_on and st["inst"] is not None:
+                    inst_ev.merge_state(*st["inst"])
+                n += st["n"]
+                n_fallback += st["fallback"]
         r = {}
         if semantic_on:
             r.update(sem_ev.evaluate())
@@ -618,15 +656,23 @@ def do_train(args, cfg):
 
     def run_eval(state, final_iter):
         flat = {}
-        if is_main_process():  # eval on the main host's local devices
+        # multi-host: EVERY process runs do_test on its val-set shard and
+        # local devices; the statistics merge inside do_test makes the
+        # returned metrics identical on all hosts. With eval_multihost=False
+        # only the main process evaluates (the other hosts wait).
+        eval_multihost = (jax.process_count() > 1
+                          and cfg.dataloader.get("eval_multihost", True))
+        if eval_multihost or is_main_process():
             full = merge_param_trees(frozen_params, state.params)
             results = do_test(cfg, model, {"params": full},
                               max_images=args.max_eval_images,
                               final_iter=final_iter)
             flat = {f"{task}/{k}": v for task, r in results.items()
                     for k, v in r.items() if isinstance(v, (int, float))}
-            best_ck.maybe_save(flat, jax.device_get(state.params),
-                               jax.device_get(state.opt_state), int(state.step))
+            if is_main_process():
+                best_ck.maybe_save(flat, jax.device_get(state.params),
+                                   jax.device_get(state.opt_state),
+                                   int(state.step))
         sync_global_devices("eval_done")
         return flat
 
@@ -639,13 +685,16 @@ def do_train(args, cfg):
         grounding_cfg = instantiate(cfg.grounding_criterion)
         step_fn = make_caption_train_step(model, tx, criterion_cfg,
                                           grounding_cfg, mesh=mesh,
-                                          frozen_params=frozen_params)
+                                          frozen_params=frozen_params,
+                                          grad_clip=cfg.optimizer.grad_clip,
+                                          accum_steps=accum)
         batch_keys = ("image", "gt_labels", "gt_masks", "gt_valid",
                       "word_tokens", "word_valid")
     else:
         step_fn = make_category_train_step(model, tx, criterion_cfg,
                                            text_embed_raw, labels, mesh=mesh,
                                            frozen_params=frozen_params,
+                                           grad_clip=cfg.optimizer.grad_clip,
                                            accum_steps=accum)
         batch_keys = ("image", "gt_labels", "gt_masks", "gt_valid")
 
@@ -671,6 +720,33 @@ def do_train(args, cfg):
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
     data_iter = iter(train_loader) if not hasattr(train_loader, "__next__") else train_loader
 
+    # metrics stay ON DEVICE between log ticks: fetching them every step
+    # (float(v)) blocks the host on device completion and serializes
+    # dispatch — d2 keeps the accelerator queue full and logs smoothed
+    # metrics every 20 iters (reference SimpleTrainer). One sync per
+    # log_period window; check_finite still covers every step's metrics.
+    from odise_tpu.engine.train_loop import check_finite
+
+    pending = []  # (iter, device-side metrics dict)
+    window_t0 = time.perf_counter()
+
+    def flush_pending():
+        nonlocal window_t0
+        if not pending:
+            return
+        # per-step wall = window wall / steps (individual dispatch times
+        # are meaningless once the fetch is deferred)
+        per_step = (time.perf_counter() - window_t0) / len(pending)
+        cur_iter = storage.iter
+        for pit, dm in pending:
+            fm = {k: float(v) for k, v in dm.items()}
+            check_finite(fm, pit)
+            storage.iter = pit
+            storage.put_scalars(time=per_step, **fm)
+        storage.iter = cur_iter
+        pending.clear()
+        window_t0 = time.perf_counter()
+
     with WriterStack(writers):
         batch = batch0
         for it in range(start_iter, cfg.train.max_iter):
@@ -679,12 +755,16 @@ def do_train(args, cfg):
                     os.path.join(cfg.train.output_dir, "profile"))
             if args.profile and it == start_iter + 15:
                 jax.profiler.stop_trace()
-            t0 = time.perf_counter()
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, place(batch), step_rng)
             batch = next(data_iter)  # overlap host data work with device step
-            metrics = {k: float(v) for k, v in metrics.items()}
-            storage.put_scalars(time=time.perf_counter() - t0, **metrics)
+            pending.append((it, metrics))
+            if ((it + 1) % cfg.train.log_period == 0
+                    or (it + 1) % cfg.train.checkpointer.period == 0
+                    or (cfg.train.eval_period > 0
+                        and (it + 1) % cfg.train.eval_period == 0)
+                    or (it + 1) == cfg.train.max_iter):
+                flush_pending()
             if (it + 1) % cfg.train.log_period == 0:
                 for w in writers:
                     w.write(storage)
