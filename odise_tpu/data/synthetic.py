@@ -35,8 +35,15 @@ def synth_categories() -> List[Dict]:
             for i, l in enumerate(SYNTH_LABELS)]
 
 
-def _draw_sample(rng: np.random.RandomState, size: int):
-    """One image + per-pixel category map + instance-id map."""
+def _draw_sample(rng: np.random.RandomState, size: int, vary: bool = False):
+    """One image + per-pixel category map + instance-id map.
+
+    ``vary=True`` makes each thing present with p=0.75 (at least one always)
+    — required by the caption variant: the grounding InfoNCE contrasts
+    images against each other through their word sets, so identical captions
+    across the batch would make the contrastive task degenerate
+    (reference grounding dynamics: odise.py:815-907).
+    """
     img = np.empty((size, size, 3), np.float32)
     # grass background with texture noise
     img[..., 0] = 30
@@ -47,32 +54,41 @@ def _draw_sample(rng: np.random.RandomState, size: int):
     sem = np.full((size, size), 2, np.uint8)     # grass
     ids = np.full((size, size), 3, np.uint32)    # grass segment id
 
+    if vary:
+        with_cat = rng.rand() < 0.75
+        # at least one thing in every image
+        with_dog = rng.rand() < 0.75 or not with_cat
+    else:
+        with_cat = with_dog = True
+
     # cat: red rectangle
-    for _ in range(100):
+    cat = np.zeros((size, size), bool)
+    if with_cat:
         h = rng.randint(size // 4, size // 2 + 1)
         w = rng.randint(size // 4, size // 2 + 1)
         y = rng.randint(0, size - h)
         x = rng.randint(0, size - w)
-        cat = np.zeros((size, size), bool)
         cat[y:y + h, x:x + w] = True
-        break
-    img[cat] = np.asarray([200, 40, 40]) + rng.randn(int(cat.sum()), 3) * 15
-    sem[cat] = 0
-    ids[cat] = 1
+        img[cat] = (np.asarray([200, 40, 40])
+                    + rng.randn(int(cat.sum()), 3) * 15)
+        sem[cat] = 0
+        ids[cat] = 1
 
     # dog: blue disk, drawn on top (may partially occlude the cat)
-    yy, xx = np.mgrid[:size, :size]
-    for _ in range(100):
-        r = rng.randint(size // 8, size // 4 + 1)
-        cy = rng.randint(r, size - r)
-        cx = rng.randint(r, size - r)
-        dog = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
-        # keep a visible chunk of the cat (panoptic GT needs both things)
-        if (cat & ~dog).sum() >= (size * size) // 64:
-            break
-    img[dog] = np.asarray([40, 60, 210]) + rng.randn(int(dog.sum()), 3) * 15
-    sem[dog] = 1
-    ids[dog] = 2
+    if with_dog:
+        yy, xx = np.mgrid[:size, :size]
+        for _ in range(100):
+            r = rng.randint(size // 8, size // 4 + 1)
+            cy = rng.randint(r, size - r)
+            cx = rng.randint(r, size - r)
+            dog = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+            # keep a visible chunk of the cat (panoptic GT needs both things)
+            if not with_cat or (cat & ~dog).sum() >= (size * size) // 64:
+                break
+        img[dog] = (np.asarray([40, 60, 210])
+                    + rng.randn(int(dog.sum()), 3) * 15)
+        sem[dog] = 1
+        ids[dog] = 2
 
     img = np.clip(img, 0, 255).astype(np.uint8)
     return img, sem, ids
@@ -85,8 +101,17 @@ def make_shapes_records(
     size: int = 64,
     seed: int = 0,
     prefix: str = "synth",
+    with_captions: bool = False,
+    vary: bool = False,
 ) -> List[Dict]:
-    """Write n images (+ panoptic/semantic GT pngs) and return records."""
+    """Write n images (+ panoptic/semantic GT pngs) and return records.
+
+    ``with_captions=True`` adds ``captions`` (one sentence naming the
+    categories present) and ``words`` (the offline-extracted noun list the
+    caption mapper samples from — the rebuild moves the reference's
+    per-step NLTK extraction, odise.py:1161-1191, to data prep).
+    ``vary=True`` randomizes thing presence (see ``_draw_sample``).
+    """
     from PIL import Image
 
     from .transforms import id2rgb
@@ -95,7 +120,7 @@ def make_shapes_records(
     rng = np.random.RandomState(seed)
     records = []
     for i in range(n):
-        img, sem, ids = _draw_sample(rng, size)
+        img, sem, ids = _draw_sample(rng, size, vary=vary)
         img_path = os.path.join(out_dir, f"{prefix}{i}.png")
         pan_path = os.path.join(out_dir, f"{prefix}{i}_pan.png")
         sem_path = os.path.join(out_dir, f"{prefix}{i}_sem.png")
@@ -107,11 +132,18 @@ def make_shapes_records(
             if (ids == seg_id).any():
                 segments.append(
                     {"id": seg_id, "category_id": cat_id, "iscrowd": 0})
-        records.append({
+        record = {
             "file_name": img_path,
             "image_id": i,
             "pan_seg_file_name": pan_path,
             "sem_seg_file_name": sem_path,
             "segments_info": segments,
-        })
+        }
+        if with_captions:
+            present = [SYNTH_LABELS[s["category_id"]][0] for s in segments]
+            things = [n for n in present if n != "grass"]
+            record["captions"] = [
+                "a photo of a " + " and a ".join(things) + " on grass"]
+            record["words"] = present
+        records.append(record)
     return records

@@ -45,6 +45,7 @@ def log(msg: str) -> None:
 def run_convergence(
     out_dir: str,
     *,
+    variant: str = "category",
     steps: int = 300,
     batch: int = 4,
     accum_steps: int = 1,
@@ -77,26 +78,45 @@ def run_convergence(
     from odise_tpu.engine.train_loop import (
         TrainState, check_finite, make_category_train_step,
         merge_param_trees, partition_params)
-    from odise_tpu.losses import CriterionConfig
-    from odise_tpu.model_zoo.factory import build_category_odise
+    from odise_tpu.losses import CriterionConfig, GroundingConfig
+    from odise_tpu.model_zoo.factory import (build_caption_odise,
+                                             build_category_odise)
     from odise_tpu.models.clip.tokenizer import tokenize
 
-    log(f"dataset: {n_train} train / {n_val} val shapes images @ {size}px")
+    assert variant in ("category", "caption"), variant
+    caption = variant == "caption"
+    log(f"dataset: {n_train} train / {n_val} val shapes images @ {size}px"
+        f" (variant={variant})")
+    # the caption variant needs VARIED content: the grounding InfoNCE
+    # contrasts images through their word sets (odise.py:815-907), so
+    # identical captions across the batch would be degenerate
     train_records = make_shapes_records(
-        os.path.join(out_dir, "train"), n_train, size=size, seed=seed + 1)
+        os.path.join(out_dir, "train"), n_train, size=size, seed=seed + 1,
+        with_captions=caption, vary=caption)
     val_records = make_shapes_records(
-        os.path.join(out_dir, "val"), n_val, size=size, seed=seed + 2)
+        os.path.join(out_dir, "val"), n_val, size=size, seed=seed + 2,
+        vary=caption)
     DatasetCatalog.remove(dataset_name)
     DatasetCatalog.register(dataset_name, lambda: val_records)
     MetadataCatalog.get(dataset_name).set(
         ignore_label=255, categories=synth_categories())
 
-    model = build_category_odise(
-        "tiny", train_labels=SYNTH_LABELS, with_clip_head=False,
-        use_checkpoint=False, slide_training=False)
-    variables = model.init(
-        jax.random.PRNGKey(seed), jnp.zeros((1, size, size, 3)),
-        jnp.zeros((len(SYNTH_LABELS), 16)), method=type(model).init_full)
+    if caption:
+        num_words = 4
+        model = build_caption_odise(
+            "tiny", train_labels=SYNTH_LABELS, with_clip_head=False,
+            use_checkpoint=False, slide_training=False)
+        variables = model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, size, size, 3)),
+            jnp.zeros((1, num_words, 77), jnp.int32),
+            method=type(model).init_full)
+    else:
+        model = build_category_odise(
+            "tiny", train_labels=SYNTH_LABELS, with_clip_head=False,
+            use_checkpoint=False, slide_training=False)
+        variables = model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, size, size, 3)),
+            jnp.zeros((len(SYNTH_LABELS), 16)), method=type(model).init_full)
 
     # the SAME raw text embeddings the eval wrapper computes
     # (models/wrapper.py build_open_vocabulary): tokenize the flat synonym
@@ -114,14 +134,25 @@ def run_convergence(
         trainable, lr=lr, weight_decay=weight_decay, grad_clip=grad_clip,
         milestones=(int(steps * 8 / 9), int(steps * 17 / 18)),
         warmup_steps=min(10, steps // 10))
-    cfg = CriterionConfig(num_classes=len(SYNTH_LABELS),
-                          num_points=num_points)
-    step = make_category_train_step(
-        model, tx, cfg, text_embed_raw=text_raw, labels=SYNTH_LABELS,
-        frozen_params=frozen, grad_clip=grad_clip, accum_steps=accum_steps)
+    if caption:
+        from odise_tpu.engine.train_loop import make_caption_train_step
+
+        cfg = CriterionConfig(num_classes=1, num_points=num_points)
+        step = make_caption_train_step(
+            model, tx, cfg, GroundingConfig(collect_mode=None),
+            frozen_params=frozen, grad_clip=grad_clip,
+            accum_steps=accum_steps)
+    else:
+        cfg = CriterionConfig(num_classes=len(SYNTH_LABELS),
+                              num_points=num_points)
+        step = make_category_train_step(
+            model, tx, cfg, text_embed_raw=text_raw, labels=SYNTH_LABELS,
+            frozen_params=frozen, grad_clip=grad_clip,
+            accum_steps=accum_steps)
 
     mapper = COCOPanopticDatasetMapper(
-        is_train=True, image_size=size, max_instances=max_instances)
+        is_train=True, image_size=size, max_instances=max_instances,
+        with_captions=caption, num_words=4 if caption else 8)
     loader = build_train_loader(train_records, mapper, batch, seed=seed)
 
     eval_cfg = ConfigDict(
@@ -174,6 +205,7 @@ def run_convergence(
 
     k = max(len(losses) // 10, 1)
     result = {
+        "variant": variant,
         "steps": steps,
         "batch": batch,
         "accum_steps": accum_steps,
@@ -194,6 +226,8 @@ def run_convergence(
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/odise_tpu_convergence")
+    ap.add_argument("--variant", default="category",
+                    choices=["category", "caption"])
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--accum-steps", type=int, default=1)
@@ -214,7 +248,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     result = run_convergence(
-        args.out, steps=args.steps, batch=args.batch,
+        args.out, variant=args.variant, steps=args.steps, batch=args.batch,
         accum_steps=args.accum_steps, lr=args.lr, grad_clip=args.grad_clip,
         n_train=args.n_train, n_val=args.n_val, num_points=args.num_points,
         seed=args.seed, eval_before=not args.no_eval_before)
