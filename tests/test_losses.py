@@ -134,7 +134,7 @@ def test_grounding_loss_multidevice_allgather():
         import pytest
         pytest.skip("needs multi-device")
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n = len(devices)
     B, Q, K, C = n * 2, 4, 3, 8
@@ -187,7 +187,7 @@ def test_grounding_concat_mode_forward_equals_diff_grads_local_only():
     if len(devices) < 2:
         import pytest
         pytest.skip("needs multi-device")
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     n = len(devices)
