@@ -13,16 +13,24 @@ one-hot-matmul path — same split as ``impl="hybrid"``):
   * The quad-row trick from the XLA path carries over: each table row is the
     4 bilinear corners concatenated (``4*head_dim == 128`` — exactly one
     vector register row), built with three cyclic rolls outside the kernel.
+  * ALL large levels are served by ONE ``pallas_call``: their quad tables are
+    concatenated along rows (level row offsets folded into the indices), and
+    each query carries ``P_eff = n_large_levels * n_points`` samples. At the
+    1024px encoder shapes that is one 5 MB VMEM-resident table (16384 + 4096
+    rows x 128 lanes x bf16) and 6 kernel launches per forward instead of 12
+    — halving the fixed pallas_call overhead and the XLA<->kernel boundary
+    buffers that cost the per-level variant its op-level win end-to-end.
   * Grid is ``(B*H, query_tiles)`` with the table block's index_map constant
     in the tile coordinate, so Mosaic DMAs the table into VMEM once per
-    (batch, head) and revisits it for every tile (stride-8 level at 1024px:
-    16384 rows x 128 lanes x bf16 = 4 MB, well inside VMEM).
-  * Per tile, a scalar ``fori_loop`` copies ``tile*P`` dynamically-indexed
+    (batch, head) and revisits it for every tile.
+  * Per tile, a scalar ``fori_loop`` copies ``tile*P_eff`` dynamically-indexed
     table rows into a VMEM scratch block (indices come from SMEM); then the
     4 corner weights of every sample are expanded to the 128-lane row layout
     with ONE tiny MXU matmul against a static [4, 128] corner-selector
-    matrix, the weighted rows are reduced over the P points, and the 4
-    corner sub-rows are folded — all fully vectorized.
+    matrix, the weighted rows are reduced over the P_eff samples, and the 4
+    corner sub-rows are folded — all fully vectorized. (A bf16 within-8-block
+    row select was tried and rejected: Mosaic lowers minor-dim insertion —
+    the [S, 8] -> [S, 8, 1] mask reshape — only for 32-bit vectors.)
   * Backward is the XLA quad path's VJP via ``jax.custom_vjp`` (the two
     forwards are mathematically identical, so the gradients agree; the
     kernel targets the eval/encoder hot path).
@@ -105,8 +113,9 @@ def _make_level_kernel(QT: int, P: int, hd: int, unroll: int):
         # idx_ref: SMEM [BH, S] i32 (Mosaic requires the sublane dim of an
         # SMEM block to be 8-divisible or the full array dim, so the block
         # carries ALL bh rows and the kernel picks its row by program_id);
-        # w4_ref: VMEM [1, S, 4] f32; w8_ref: VMEM [1, S, 8] f32 one-hot of
-        # idx%8; table_ref: VMEM [1, R_pad, 4*hd]; g8_ref: scratch [S, 8, 4*hd]
+        # w4_ref: VMEM [1, S, 4] f32; w8_ref: VMEM [1, S, 8] one-hot of
+        # idx%8 (table dtype); table_ref: VMEM [1, R_pad, 4*hd];
+        # g8_ref: scratch [S, 8, 4*hd]
         #
         # Mosaic cannot load ONE dynamically-indexed VMEM row (the sublane
         # index must be provably 8-aligned), so each sample loads its ALIGNED
@@ -124,7 +133,9 @@ def _make_level_kernel(QT: int, P: int, hd: int, unroll: int):
         # lets Mosaic pipeline the loads (16.4 vs 40.4 ms measured)
         jax.lax.fori_loop(0, S, body, 0, unroll=unroll)
 
-        # select each sample's row from its 8-row block (one-hot contraction)
+        # select each sample's row from its 8-row block (one-hot contraction;
+        # the mask stays f32 — Mosaic only lowers minor-dim insertion for
+        # 32-bit vectors, so a bf16 [S,8,1] mask reshape fails to compile)
         rows = jnp.sum(g8_ref[:].astype(jnp.float32)
                        * w8_ref[0][:, :, None], axis=1)    # [S, 4*hd]
 
@@ -192,6 +203,11 @@ def _pallas_level_gather(table: jnp.ndarray, idx: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BH, Lq_pad, hd), jnp.float32),
         scratch_shapes=[pltpu.VMEM((S, 8, four_hd), table.dtype)],
+        # the merged multi-level table (5 MB) + f32 scratch exceed the 16 MB
+        # default scoped-VMEM budget at q_tile=128 (16.7 MB); v5e has 128 MB
+        # of VMEM — raise the cap and let Mosaic allocate what it needs
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(idx_flat, w4.reshape(BH, Lq_pad * P, 4), w8, table)
     return out[:, :Lq]
 
@@ -200,7 +216,9 @@ def _pallas_forward(value, spatial_shapes, sampling_locations,
                     attention_weights, matmul_max_rows: int = 1024,
                     q_tile: int = 128, unroll: int = 0):
     """Hybrid forward: one-hot matmul for small levels (MXU, same as the XLA
-    hybrid path), VMEM-resident Pallas gather for large levels."""
+    hybrid path), ONE merged VMEM-resident Pallas gather for all large levels
+    (their quad tables concatenated along rows, per-query samples stacked
+    level-major so P_eff = n_large * n_points)."""
     from ..ms_deform_attn import _matmul_level
 
     B, Len_v, n_heads, head_dim = value.shape
@@ -213,6 +231,10 @@ def _pallas_forward(value, spatial_shapes, sampling_locations,
         off += h * w
 
     out = 0.0
+    tables = []
+    idx_parts = []
+    w4_parts = []
+    row_off = 0
     for i, (h, w) in enumerate(spatial_shapes):
         v_lvl = v_bh[:, offsets[i]:offsets[i] + h * w]
         loc = sampling_locations[:, :, :, i]
@@ -220,13 +242,23 @@ def _pallas_forward(value, spatial_shapes, sampling_locations,
         if h * w <= matmul_max_rows:
             out = out + _matmul_level(v_lvl, h, w, loc, att)
         else:
+            tables.append(_level_quad_table(v_lvl, w))
             idx, w4 = _level_idx_w4(loc, att, h, w)
-            Lq = idx.shape[1]
-            idx = idx.transpose(0, 2, 1, 3).reshape(B * n_heads, Lq, -1)
-            w4 = w4.transpose(0, 2, 1, 3, 4).reshape(B * n_heads, Lq, -1, 4)
-            g = _pallas_level_gather(_level_quad_table(v_lvl, w), idx, w4,
-                                     q_tile=q_tile, unroll=unroll)
-            out = out + g.reshape(B, n_heads, Lq, head_dim).transpose(0, 2, 1, 3)
+            idx_parts.append(idx + row_off)  # fold level offset into the row
+            w4_parts.append(w4)
+            row_off += h * w
+
+    if tables:
+        table = (tables[0] if len(tables) == 1
+                 else jnp.concatenate(tables, axis=1))
+        Lq = idx_parts[0].shape[1]
+        # [B,Lq,H,L,P] -> [BH, Lq, L*P]; samples level-major per query
+        idx = jnp.stack(idx_parts, axis=3)
+        w4 = jnp.stack(w4_parts, axis=3)
+        idx = idx.transpose(0, 2, 1, 3, 4).reshape(B * n_heads, Lq, -1)
+        w4 = w4.transpose(0, 2, 1, 3, 4, 5).reshape(B * n_heads, Lq, -1, 4)
+        g = _pallas_level_gather(table, idx, w4, q_tile=q_tile, unroll=unroll)
+        out = out + g.reshape(B, n_heads, Lq, head_dim).transpose(0, 2, 1, 3)
 
     B_, Lq = value.shape[0], sampling_locations.shape[1]
     return out.astype(value.dtype).reshape(B_, Lq, n_heads * head_dim)
