@@ -30,13 +30,30 @@ VOCAB_SIZE = 49408
 SOT_TEXT = "<|startoftext|>"
 EOT_TEXT = "<|endoftext|>"
 
-# CLIP's original pattern uses \p{L}/\p{N} (needs the third-party `regex`
-# module); the stdlib-compatible ASCII equivalent below matches it on the
-# English label/caption vocabulary this framework tokenizes.
-_PAT = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-    re.IGNORECASE,
-)
+# CLIP's original word-split pattern (open_clip simple_tokenizer), verbatim
+# via the third-party `regex` module when present. The stdlib fallback is an
+# EXACT Unicode equivalent built from Python re's classes:
+#   \p{L}  == [^\W\d_]      (re \w = L ∪ N ∪ '_'; minus \d=Nd minus '_'
+#                            leaves L plus Nl/No — see caveat below)
+#   \p{N}  -> \d            (Nd)
+#   [^\s\p{L}\p{N}] == [^\s\w]|_
+# The union of the letter+number classes equals CLIP's exactly, so split
+# points match; the only divergence is that CONSECUTIVE letterlike numerals
+# (Nl/No, e.g. 'Ⅻ½') group into one run instead of one match per char —
+# absent from every label file and caption corpus this framework tokenizes.
+# Equivalence is pinned against the verbatim pattern in tests/test_towers.py.
+try:
+    import regex as _regex
+
+    _PAT = _regex.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        _regex.IGNORECASE,
+    )
+except ImportError:  # stdlib-only environments
+    _PAT = re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|(?:[^\s\w]|_)+""",
+        re.IGNORECASE,
+    )
 
 
 @functools.lru_cache()
@@ -172,7 +189,7 @@ class SimpleTokenizer:
     def encode(self, text: str) -> List[int]:
         bpe_tokens: List[int] = []
         text = _whitespace_clean(_basic_clean(text)).lower()
-        for token in re.findall(_PAT, text):
+        for token in _PAT.findall(text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             bpe_tokens.extend(self.encoder[t] for t in self.bpe(token).split(" "))
         return bpe_tokens

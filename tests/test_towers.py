@@ -202,3 +202,71 @@ def test_tokenizer_with_merges_file(tmp_path):
     assert tok.encoder["hello</w>"] >= 512
     # unmerged text falls back to byte-level pieces and roundtrips
     assert tok.decode(tok.encode("xyz")).strip() == "xyz"
+
+
+def test_tokenizer_word_split_matches_clip_pattern_exactly():
+    """Both word-split patterns (the verbatim CLIP pattern via the `regex`
+    module and the stdlib fallback) must produce IDENTICAL token splits on
+    every label-file entry this framework ever tokenizes, plus adversarial
+    unicode (reference tokenization: open_clip.tokenize, used at
+    odise/modeling/meta_arch/clip.py:64,165)."""
+    import glob
+    import os
+    import re as _re
+
+    regex = pytest.importorskip("regex")
+
+    clip_pat = regex.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        regex.IGNORECASE,
+    )
+    stdlib_pat = _re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|(?:[^\s\w]|_)+""",
+        _re.IGNORECASE,
+    )
+
+    corpus = [
+        "a photo of a cat", "It's the dog's day; they're 100% sure!",
+        "café naïve résumé  Ångström", "straße söße", "日本語のラベル",
+        "x_y_z under_scores", "3.14159 26 weird--punct...!?",
+        "<|startoftext|>mixed<|endoftext|>",
+        "there is a big flat screen tv in the photo",
+        "emoji 🙂 and symbols ©®™ and mixed a1b2c3",
+    ]
+    label_dir = os.path.join(
+        os.path.dirname(__file__), "..", "odise_tpu", "data", "datasets",
+        "openseg_labels")
+    for path in sorted(glob.glob(os.path.join(label_dir, "*.txt"))):
+        with open(path, encoding="utf-8") as f:
+            corpus.extend(f.read().splitlines())
+    assert len(corpus) > 3000  # the full label universe really loaded
+
+    from odise_tpu.models.clip.tokenizer import (_PAT, _basic_clean,
+                                                 _whitespace_clean)
+
+    for raw in corpus:
+        text = _whitespace_clean(_basic_clean(raw)).lower()
+        want = clip_pat.findall(text)
+        assert stdlib_pat.findall(text) == want, raw
+        assert _PAT.findall(text) == want, raw
+
+
+# Known-true openai-CLIP/open_clip token ids ("a photo of a cat" is the
+# canonical example in the CLIP repo docs). Only checkable when the real
+# merge table is present (is_clip_compatible); committed so the assertion
+# is live the moment bpe_simple_vocab_16e6.txt.gz lands (PARITY.md).
+GOLDEN_CLIP_IDS = {
+    "a photo of a cat": [49406, 320, 1125, 539, 320, 2368, 49407],
+    "a photo of a dog": [49406, 320, 1125, 539, 320, 1929, 49407],
+}
+
+
+def test_tokenizer_golden_clip_ids():
+    tok = default_tokenizer()
+    if not tok.is_clip_compatible:
+        pytest.skip("real CLIP merge table not present in this image "
+                    "(zero-egress); golden ids are pinned for the day "
+                    "it lands")
+    for text, ids in GOLDEN_CLIP_IDS.items():
+        got = [tok.sot_token] + tok.encode(text) + [tok.eot_token]
+        assert got == ids, (text, got)
