@@ -4,25 +4,34 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline (BASELINE.md): >= 4 img/sec/chip at 1024-px panoptic inference.
 
 The benchmark path is the reference's eval configuration (1024^2 input,
-sliding-window 512-crop SD feature extraction, 9-layer masked decoder,
-CLIP-head ensembling over a 133-category COCO vocabulary, on-device panoptic
-fusion) with bf16 compute; cf. the reference's runtime log surface
+SD feature extraction, 9-layer masked decoder, CLIP-head ensembling over a
+133-category COCO vocabulary, on-device panoptic fusion) with bf16 compute;
+cf. the reference's runtime log surface
 (/root/reference/odise/evaluation/evaluator.py:131-142).
 
-Wall-clock budget design (round-3 fix for the r2 driver timeout):
-  * every phase logs elapsed time to STDERR as it happens, so a timeout is
-    diagnosable from the captured tail;
-  * zero parameters come from a committed static shape manifest
-    (odise_tpu/model_zoo/bench_manifest.json.gz): ONE eager flat zero
-    buffer per dtype lives on device (no host->device upload at all), and
-    the parameter tree is carved out of it by static slices INSIDE the
-    jitted step (~ms of HBM copies per call) — no full-model
-    `jax.eval_shape` trace (~minutes on this 1-core host), no GB-sized
-    host buffers (~14 MB/s upload), no GB-sized jit outputs (~8 MB/s
-    stream-back). Measured end-to-end: ~240 s total wall uncontended
-    (pre-compile ~30 s, compile ~125-205 s, timed loop ~2 s);
-  * the deformable-attention impl is selectable (--impl); the default is
-    chosen for best (compile + run) under the driver budget.
+Round-5 design (fixes the r4 ordering regression):
+  * ``--impl auto`` (default) runs ONE sequence child that measures the
+    ROBUST impl (quad) first, then spends leftover budget on the faster
+    candidates (hybrid) IN THE SAME PROCESS — the r4 subprocess-per-attempt
+    design paid a multi-minute relay teardown stall between attempts, and
+    its hybrid-first ordering lost the banked number when the compile
+    service degraded. Every completed measurement is appended to a results
+    file immediately, so a mid-attempt kill keeps all banked numbers; the
+    parent reports the BEST banked result, not the first.
+  * ``--protocol split`` (default) measures the PRODUCTION eval protocol:
+    the vocabulary-independent trunk jit + per-vocabulary head jit + fusion
+    that tools/train_net.py::do_test actually serves (wrapper.py
+    OpenPanopticInference), not a monolithic research graph.
+  * ``--fill pattern`` (default) makes the printed checksums a real
+    cross-impl numerics gate (zeros inputs exercise nothing).
+  * FLOPs come from the compiled executables' ``cost_analysis()``; the
+    detail reports flops_per_img and MFU vs the chip's bf16 peak.
+  * zero/pattern parameters come from a committed static shape manifest
+    (odise_tpu/model_zoo/bench_manifest.json.gz): ONE flat device buffer
+    per dtype, carved into the param tree by static slices INSIDE the
+    jitted step (~ms of HBM copies) — no full-model `jax.eval_shape` trace
+    (~minutes on this 1-core host), no GB-sized host uploads (~14 MB/s),
+    no GB-sized jit outputs (~8 MB/s stream-back). See NOTES.md (round 3).
 """
 
 from __future__ import annotations
@@ -39,6 +48,24 @@ _T0 = time.perf_counter()
 def log(msg: str) -> None:
     print(f"[bench t={time.perf_counter() - _T0:7.1f}s] {msg}",
           file=sys.stderr, flush=True)
+
+
+# bf16 peak FLOP/s per chip, by jax device-string prefix (public specs)
+_PEAK_BF16 = (
+    ("TPU v5 lite", 197e12),   # v5e
+    ("TPU v5e", 197e12),
+    ("TPU v5p", 459e12),
+    ("TPU v5", 459e12),
+    ("TPU v6 lite", 918e12),   # Trillium
+    ("TPU v4", 275e12),
+)
+
+
+def peak_bf16_flops(device_str: str):
+    for prefix, peak in _PEAK_BF16:
+        if device_str.startswith(prefix):
+            return peak
+    return None
 
 
 def load_manifest_flat(path, storage="f32"):
@@ -95,13 +122,10 @@ def run_with_fallback(cmds, budget_s: float, reserve_s: float, log=log):
     """Run candidate bench subprocesses in order; return the first JSON line.
 
     ``cmds`` is a list of ``(name, argv)``. Every attempt except the last
-    runs under a timeout of (remaining budget - reserve), so a hung or
-    degraded compile (the 2026-08-18 incident: remote compile service at
-    ~3x latency pushed a 180 s compile past the driver budget) is killed
-    with enough budget left for the robust fallback to produce a recorded
-    number. The last attempt runs without a timeout — a late number beats
-    none. Pure orchestration; tested with stub commands in
-    tests/test_bench_fallback.py.
+    runs under a timeout of (remaining budget - reserve); the last attempt
+    runs without a timeout — a late number beats none. Used only as the
+    LAST-RESORT path when the sequence child banked nothing. Pure
+    orchestration; tested with stub commands in tests/test_bench_fallback.py.
     """
     import subprocess
 
@@ -126,40 +150,466 @@ def run_with_fallback(cmds, budget_s: float, reserve_s: float, log=log):
     return None
 
 
+def read_candidates(result_path):
+    """Parse banked result lines (one JSON object per line)."""
+    candidates = []
+    try:
+        with open(result_path) as f:
+            for ln in f:
+                ln = ln.strip()
+                if not ln.startswith("{"):
+                    continue
+                try:
+                    candidates.append(json.loads(ln))
+                except json.JSONDecodeError:
+                    continue
+    except FileNotFoundError:
+        pass
+    return candidates
+
+
+def orchestrate(child_argv, fallback_cmds, budget_s, margin_s, result_path,
+                log=log):
+    """auto-mode parent: one sequence child, best-of banked results.
+
+    The child appends each completed measurement to ``result_path`` AS IT
+    FINISHES, so killing it at the budget boundary keeps every number it
+    banked (the r4 failure mode — a timed-out first attempt costing the
+    whole record — cannot recur). Returns the best banked JSON line; falls
+    back to ``fallback_cmds`` via run_with_fallback only if the child
+    banked nothing. Pure orchestration; tested with stub children.
+    """
+    import subprocess
+
+    t0 = time.perf_counter()
+    timeout = max(budget_s - margin_s, 30.0)
+    log(f"sequence child: timeout={timeout:.0f}s results={result_path}")
+    try:
+        subprocess.run(child_argv, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        log("sequence child killed at budget boundary; keeping banked results")
+    except Exception as e:
+        log(f"sequence child failed to run: {e!r}")
+
+    candidates = read_candidates(result_path)
+    if candidates:
+        best = max(candidates, key=lambda c: c.get("value", 0.0))
+        detail = best.setdefault("detail", {})
+        detail["attempts"] = [
+            {"impl": c.get("detail", {}).get("deform_impl"),
+             "batch": c.get("detail", {}).get("batch"),
+             "value": c.get("value")}
+            for c in candidates]
+        detail["total_wall_s"] = round(time.perf_counter() - _T0, 1)
+        return json.dumps(best)
+
+    log("sequence child banked nothing; last-resort fallback")
+    remaining = budget_s - (time.perf_counter() - t0)
+    return run_with_fallback(fallback_cmds, remaining, 0.0, log=log)
+
+
+def _flops_of(compiled):
+    """Analytic FLOPs of a compiled executable (None if unavailable)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception as e:
+        log(f"cost_analysis unavailable: {e!r}")
+        return None
+
+
+def _pattern_image(B, S):
+    import jax.numpy as jnp
+
+    # deterministic, device-generated (one eager op): non-trivial
+    # activations everywhere so cross-impl checksums actually test the
+    # numerics, at zero upload cost
+    return 0.5 + 0.5 * jnp.sin(
+        jnp.arange(B * S * S * 3, dtype=jnp.float32) * 0.37
+    ).reshape(B, S, S, 3)
+
+
+class BenchContext:
+    """Model + params + inputs, built once and reused across impl attempts."""
+
+    def __init__(self, args):
+        import jax
+        import jax.numpy as jnp
+
+        from odise_tpu.engine.defaults import enable_compilation_cache
+        from odise_tpu.model_zoo.factory import build_category_odise
+
+        self.args = args
+        # warm reruns skip the multi-minute eval-graph compiles entirely
+        # (the cache round-trips serialized TPU executables through the
+        # axon relay)
+        cache_dir = enable_compilation_cache()
+        log(f"jax ready, device={jax.devices()[0]}, compile cache={cache_dir}")
+
+        self.K = K = 133
+        self.labels = tuple((f"category {i}",) for i in range(K))
+        self.model = build_category_odise(
+            "full", train_labels=self.labels,
+            with_clip_head=not args.no_clip_head,
+            use_checkpoint=False, slide_training=False, dtype=jnp.bfloat16)
+        log("model built")
+
+        S = args.image_size
+        self.S = S
+        self.text_raw = jnp.zeros((K, 768), jnp.float32)
+        self.clip_text = jnp.zeros((K, 768), jnp.float32)
+        self.overlap = jnp.zeros((K,), jnp.int32)
+        self.thing_mask = jnp.asarray([True] * 80 + [False] * (K - 80))
+
+        self.param_arg, self.unflatten = self._build_params()
+
+        # relay round-trip floor (scalar fetch); subtracted from iter times
+        img1 = self.image(1)
+
+        @jax.jit
+        def tiny(x):
+            return jnp.sum(x[:, 0, 0, 0])
+
+        float(tiny(img1))
+        t0 = time.perf_counter()
+        for _ in range(6):
+            float(tiny(img1))
+        self.rtt = (time.perf_counter() - t0) / 6
+        log(f"relay rtt = {self.rtt * 1000:.1f} ms")
+
+    def image(self, B):
+        import jax.numpy as jnp
+
+        if self.args.fill == "pattern":
+            return _pattern_image(B, self.S)
+        return jnp.zeros((B, self.S, self.S, 3), jnp.float32)
+
+    def _build_params(self):
+        import jax
+        import jax.numpy as jnp
+
+        args = self.args
+        manifest_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "odise_tpu", "model_zoo", "bench_manifest.json.gz")
+        if not args.no_manifest and not args.no_clip_head:
+            try:
+                param_arg, unflatten = load_manifest_flat(
+                    manifest_path, storage=args.param_storage)
+                if args.fill == "pattern":
+                    # small deterministic weights, fused device-side fill:
+                    # the jit fuses arange+sin+cast into the single output
+                    # buffer (an eager chain materializes multi-GB f32
+                    # intermediates and OOMs the 16GB HBM). LayerNorms keep
+                    # activations sane through the towers.
+                    import functools
+
+                    @functools.partial(jax.jit, static_argnums=(0, 1))
+                    def _fill(n, dt):
+                        x = jnp.arange(n, dtype=jnp.float32)
+                        return (0.02 * jnp.sin(x * 0.001)).astype(dt)
+
+                    filled = {}
+                    for dt, v in param_arg.items():
+                        n, vdt = v.shape[0], v.dtype
+                        del v
+                        param_arg[dt] = None  # free zeros before the fill
+                        filled[dt] = _fill(n, vdt)
+                    param_arg = filled
+                log(f"params = flat {args.fill} buffers from static manifest "
+                    f"({args.param_storage} storage)")
+                return param_arg, unflatten
+            except Exception as e:  # stale/missing manifest: fall through
+                log(f"manifest unavailable ({e!r}); falling back to "
+                    "eval_shape")
+
+        model, labels = self.model, self.labels
+
+        def init_fn():
+            img = jnp.zeros((1, self.S, self.S, 3), jnp.float32)
+            return model.init(jax.random.PRNGKey(0), img, self.text_raw,
+                              labels, self.clip_text, labels, self.overlap,
+                              method=type(model).forward_eval)
+
+        shapes = jax.eval_shape(init_fn)
+        log("eval_shape trace done")
+        param_arg = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        log("zero params materialized")
+        return param_arg, (lambda v: v)
+
+    # -- protocol graph builders -------------------------------------------
+
+    def _fusion_sums(self, mask_cls, mask_pred):
+        import jax
+        import jax.numpy as jnp
+
+        from odise_tpu.models.inference import (panoptic_inference,
+                                                semantic_inference)
+
+        sem = jax.vmap(semantic_inference)(mask_cls, mask_pred)
+        pan = jax.vmap(lambda c, m: panoptic_inference(
+            c, m, self.thing_mask, object_mask_threshold=0.0,
+            overlap_threshold=0.8))(mask_cls, mask_pred)
+        # scalar checksums: force real execution each iteration when fetched
+        # (block_until_ready alone is not a reliable barrier through the
+        # axon TPU relay). sem_sum is a CONTINUOUS function of the logits,
+        # so with --fill pattern it is a cross-impl numerics gate (pan sums
+        # go through argmaxes and may legitimately flip on
+        # fp-reassociation-level diffs).
+        return (jnp.sum(sem.astype(jnp.float32)),
+                jnp.sum(pan.panoptic_seg) + jnp.sum(pan.num_segments))
+
+    def compile_split(self, B):
+        """Production protocol: trunk jit + vocabulary-head jit + fusion jit
+        (what tools/train_net.py::do_test serves via OpenPanopticInference;
+        reference vocabulary swap semantics:
+        /root/reference/odise/modeling/wrapper/pano_wrapper.py:58-68).
+
+        Returns (fetch_fn, compile_s, flops, (sem, pan))."""
+        import jax
+
+        model, labels = self.model, self.labels
+        img = self.image(B)
+        t0 = time.perf_counter()
+
+        def trunk_fn(flats, images):
+            return model.apply(self.unflatten(flats), images,
+                               method=type(model).forward_eval_trunk)
+
+        trunk_c = jax.jit(trunk_fn).lower(self.param_arg, img).compile()
+        log(f"  trunk compiled ({time.perf_counter() - t0:.1f}s)")
+        trunk_out = trunk_c(self.param_arg, img)
+        head_in = {k: v for k, v in trunk_out.items() if k != "mask_pred"}
+
+        def head_fn(flats, trunk, text_raw, clip_text, overlap):
+            return model.apply(
+                self.unflatten(flats), trunk, text_raw, labels,
+                clip_text, labels, overlap,
+                method=type(model).forward_eval_head)
+
+        head_c = jax.jit(head_fn).lower(
+            self.param_arg, head_in, self.text_raw, self.clip_text,
+            self.overlap).compile()
+        mask_cls = head_c(self.param_arg, head_in, self.text_raw,
+                          self.clip_text, self.overlap)
+
+        fuse_c = jax.jit(self._fusion_sums).lower(
+            mask_cls, trunk_out["mask_pred"]).compile()
+        sem, pan = fuse_c(mask_cls, trunk_out["mask_pred"])
+        sums = (float(sem), float(pan))
+        compile_s = time.perf_counter() - t0
+
+        flops = None
+        parts = [_flops_of(c) for c in (trunk_c, head_c, fuse_c)]
+        if all(p is not None for p in parts):
+            flops = sum(parts)
+
+        def fetch():
+            tr = trunk_c(self.param_arg, img)
+            hi = {k: v for k, v in tr.items() if k != "mask_pred"}
+            mc = head_c(self.param_arg, hi, self.text_raw, self.clip_text,
+                        self.overlap)
+            s, p = fuse_c(mc, tr["mask_pred"])
+            return float(s), float(p)
+
+        return fetch, compile_s, flops, sums
+
+    def compile_monolithic(self, B):
+        """Single fused eval graph (research/ablation path)."""
+        import jax
+
+        model, labels = self.model, self.labels
+        img = self.image(B)
+        t0 = time.perf_counter()
+
+        def eval_step(flats, images, text_raw, clip_text, overlap):
+            variables = self.unflatten(flats)
+            mask_cls, mask_pred = model.apply(
+                variables, images, text_raw, labels, clip_text, labels,
+                overlap, method=type(model).forward_eval)
+            return self._fusion_sums(mask_cls, mask_pred)
+
+        step_c = jax.jit(eval_step).lower(
+            self.param_arg, img, self.text_raw, self.clip_text,
+            self.overlap).compile()
+        sem, pan = step_c(self.param_arg, img, self.text_raw, self.clip_text,
+                          self.overlap)
+        sums = (float(sem), float(pan))
+        compile_s = time.perf_counter() - t0
+        flops = _flops_of(step_c)
+
+        def fetch():
+            s, p = step_c(self.param_arg, img, self.text_raw, self.clip_text,
+                          self.overlap)
+            return float(s), float(p)
+
+        return fetch, compile_s, flops, sums
+
+
+def time_loop(fetch, iters, warmup, rtt):
+    for _ in range(warmup):
+        fetch()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fetch()
+        times.append(time.perf_counter() - t0)
+    # median, not mean: the shared chip + relay produce occasional multi-x
+    # outlier iterations (queue drains, host hiccups) that say nothing
+    # about the steady-state step time
+    times.sort()
+    med = times[len(times) // 2]
+    return max(med - rtt, 1e-6), times
+
+
+def measure_impl(ctx, impl, remaining_budget_s):
+    """Measure one deform-attn impl (B=1 + optional batch-N) -> result dict.
+
+    The impl is resolved from $ODISE_TPU_DEFORM_IMPL at TRACE time inside
+    ms_deform_attn, so re-tracing a fresh jit after setting the env var is
+    a correct in-process switch (no subprocess, no relay teardown stall).
+    """
+    import jax
+
+    args = ctx.args
+    os.environ["ODISE_TPU_DEFORM_IMPL"] = impl
+    t_impl0 = time.perf_counter()
+    log(f"[{impl}] compiling {args.protocol} eval graphs (B=1)")
+    compile_fn = (ctx.compile_split if args.protocol == "split"
+                  else ctx.compile_monolithic)
+    fetch, compile_s, flops, (sem_sum, pan_sum) = compile_fn(1)
+    log(f"[{impl}] compiled+first-run in {compile_s:.1f}s; "
+        f"checksums sem={sem_sum!r} pan={pan_sum!r}")
+
+    per_iter, times = time_loop(fetch, args.iters, args.warmup, ctx.rtt)
+    log(f"[{impl}] {args.iters} timed iters: median "
+        f"{(per_iter + ctx.rtt) * 1000:.1f} ms (min {times[0] * 1000:.1f}, "
+        f"max {times[-1] * 1000:.1f}) -> {per_iter * 1000:.1f} ms/img")
+
+    device = str(jax.devices()[0])
+    peak = peak_bf16_flops(device)
+    mfu = None
+    if flops and peak:
+        mfu = round(100.0 * flops / per_iter / peak, 2)
+        log(f"[{impl}] {flops / 1e12:.2f} TFLOPs/img -> MFU {mfu:.1f}% "
+            f"(peak {peak / 1e12:.0f} TF bf16)")
+
+    batched = None
+    best_value = 1.0 / per_iter
+    best_batch = 1
+    if args.batched > 1:
+        # realistic serving/eval configuration: bucketed same-shape batches
+        # (tools/train_net.py groups eval images the same way); shares the
+        # warm params in-process
+        elapsed_impl = time.perf_counter() - t_impl0
+        if remaining_budget_s - elapsed_impl < args.batched_min_budget:
+            log(f"[{impl}] skipping batch-{args.batched} "
+                f"(remaining budget too thin)")
+            batched = {"batch": args.batched, "skipped": True}
+        else:
+            try:
+                Bb = args.batched
+                log(f"[{impl}] compiling batch-{Bb} eval graphs")
+                fetch_b, compile_b, flops_b, _ = compile_fn(Bb)
+                log(f"[{impl}] batch-{Bb} compiled+first-run in "
+                    f"{compile_b:.1f}s")
+                per_step_b, _ = time_loop(
+                    fetch_b, max(args.iters // 2, 3), 1, ctx.rtt)
+                ips_b = Bb / per_step_b
+                batched = {"batch": Bb,
+                           "step_ms": round(per_step_b * 1000, 1),
+                           "img_per_sec": round(ips_b, 4),
+                           "compile_s": round(compile_b, 1)}
+                if flops_b and peak:
+                    batched["mfu_pct"] = round(
+                        100.0 * flops_b / per_step_b / peak, 2)
+                log(f"[{impl}] batch-{Bb}: {per_step_b * 1000:.1f} ms/step "
+                    f"-> {ips_b:.2f} img/s")
+                if ips_b > best_value:
+                    best_value, best_batch = ips_b, Bb
+            except Exception as e:  # e.g. HBM OOM at large batch
+                log(f"[{impl}] batch-{args.batched} failed: {e!r}")
+                batched = {"batch": args.batched, "error": repr(e)[:200]}
+
+    return {
+        "metric":
+            "img_per_sec_per_chip_1024px_open_vocab_panoptic_inference",
+        "value": round(best_value, 4),
+        "unit": "img/s/chip",
+        "vs_baseline": round(best_value / 4.0, 4),
+        "detail": {
+            "image_size": ctx.S,
+            "batch": best_batch,
+            "clip_head": not args.no_clip_head,
+            "protocol": args.protocol,
+            "deform_impl": impl,
+            "param_storage": args.param_storage,
+            "fill": args.fill,
+            "compile_s": round(compile_s, 1),
+            "relay_rtt_ms": round(ctx.rtt * 1000, 1),
+            "step_ms": round(per_iter * 1000, 1),
+            "img_per_sec_b1": round(1.0 / per_iter, 4),
+            "flops_per_img": flops,
+            "mfu_pct": mfu,
+            "checksum_sem": sem_sum,
+            "checksum_pan": pan_sum,
+            "batched": batched,
+            "total_wall_s": round(time.perf_counter() - _T0, 1),
+            "device": device,
+        },
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--image-size", type=int, default=1024)
-    ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--no-clip-head", action="store_true")
     ap.add_argument("--impl", default=os.environ.get(
         "ODISE_TPU_DEFORM_IMPL", "auto"),
-        help="deformable-attention impl: auto|quad|hybrid|fused|pallas|"
-        "reference. 'auto' (default) orchestrates subprocesses: hybrid "
-        "(fastest measured step) under a timeout, then quad (most robust "
-        "compile) as fallback — with the default-on persistent compile "
-        "cache, warm reruns of either finish in well under a minute.")
-    ap.add_argument("--budget", type=float, default=560.0,
-                    help="auto mode: total wall budget (s) to split across "
-                    "attempts (driver budget minus margin)")
-    ap.add_argument("--reserve", type=float, default=230.0,
-                    help="auto mode: seconds reserved for the fallback "
-                    "attempt when timing out an earlier one")
+        help="deformable-attention impl: auto|sequence|quad|hybrid|fused|"
+        "pallas|reference. 'auto' (default) runs one sequence child that "
+        "banks quad FIRST (robust compile; a recorded number within "
+        "minutes on a warm cache), then spends leftover budget on hybrid, "
+        "and reports the BEST banked result.")
+    ap.add_argument("--impls", default="quad,hybrid",
+                    help="sequence mode: comma-separated impls, measured "
+                    "in order (robust first)")
+    ap.add_argument("--protocol", default="split",
+                    choices=["split", "monolithic"],
+                    help="split (default) = the production trunk/head/"
+                    "fusion protocol served by tools/train_net.py::do_test; "
+                    "monolithic = one fused research graph")
+    ap.add_argument("--budget", type=float, default=700.0,
+                    help="total wall budget (s); the sequence child stops "
+                    "starting new measurements when the remainder is thin")
+    ap.add_argument("--margin", type=float, default=40.0,
+                    help="auto mode: seconds reserved between the child "
+                    "kill and the parent's own deadline")
     ap.add_argument("--batched", type=int, default=4,
-                    help="additionally measure batch-N throughput after the "
-                    "B=1 loop (reported in detail.batched; 0 disables; "
-                    "skipped automatically if the remaining budget looks "
-                    "too thin for another shape's compile)")
+                    help="additionally measure batch-N throughput after "
+                    "the B=1 loop (0 disables; auto-skipped on thin budget)")
+    ap.add_argument("--batched-min-budget", type=float, default=120.0,
+                    help="minimum remaining budget (s) to attempt the "
+                    "batch-N compile")
     ap.add_argument("--no-manifest", action="store_true",
                     help="force the slow eval_shape param path")
-    ap.add_argument("--param-storage", default="bf16", choices=["f32", "bf16"],
+    ap.add_argument("--param-storage", default="bf16",
+                    choices=["f32", "bf16"],
                     help="on-device storage dtype for the (frozen) params")
-    ap.add_argument("--fill", default="zeros", choices=["zeros", "pattern"],
-                    help="param/image fill. 'pattern' = deterministic sin "
-                    "fill (device-side, nothing uploaded) so the checksum is "
-                    "a real cross-impl numerics gate (used to validate the "
-                    "pallas kernel inside the full graph against quad)")
+    ap.add_argument("--fill", default="pattern",
+                    choices=["zeros", "pattern"],
+                    help="param/image fill. 'pattern' (default) = "
+                    "deterministic sin fill (device-side, nothing uploaded) "
+                    "so the checksum is a real cross-impl numerics gate")
+    ap.add_argument("--result-file", default=None,
+                    help="append each completed measurement's JSON here as "
+                    "it finishes (banked results survive a kill)")
     args = ap.parse_args()
 
     if args.impl == "auto":
@@ -169,241 +619,78 @@ def main():
             if skip_next:
                 skip_next = False
                 continue
-            if a == "--impl":
+            if a in ("--impl", "--result-file"):
                 skip_next = True
                 continue
-            if a.startswith("--impl="):
+            if a.startswith(("--impl=", "--result-file=")):
                 continue
             passthrough.append(a)
-        cmds = [(impl, [sys.executable, os.path.abspath(__file__),
-                        "--impl", impl] + passthrough)
-                for impl in ("hybrid", "quad")]
-        line = run_with_fallback(cmds, args.budget, args.reserve)
+        result_path = os.path.join(
+            os.environ.get("TMPDIR", "/tmp"),
+            f"odise_bench_results_{os.getpid()}.jsonl")
+        child = [sys.executable, os.path.abspath(__file__),
+                 "--impl", "sequence", "--result-file", result_path,
+                 ] + passthrough
+        # last resort only (sequence child banked nothing): the r3-proven
+        # monolithic quad zeros path, unbounded — a late number beats none
+        fallback = [("quad-last-resort",
+                     [sys.executable, os.path.abspath(__file__),
+                      "--impl", "quad", "--protocol", "monolithic",
+                      "--fill", "zeros", "--batched", "0"] + passthrough)]
+        line = orchestrate(child, fallback, args.budget, args.margin,
+                           result_path, log=log)
         if line is None:
-            log("every impl attempt failed")
+            log("every attempt failed")
             sys.exit(1)
         print(line)
         return
-    os.environ["ODISE_TPU_DEFORM_IMPL"] = args.impl
 
-    log(f"importing jax (impl={args.impl})")
-    import jax
-    import jax.numpy as jnp
+    impls = ([args.impl] if args.impl != "sequence"
+             else [s.strip() for s in args.impls.split(",") if s.strip()])
+    os.environ["ODISE_TPU_DEFORM_IMPL"] = impls[0]
 
-    from odise_tpu.engine.defaults import enable_compilation_cache
-    from odise_tpu.model_zoo.factory import build_category_odise
-    from odise_tpu.models.inference import panoptic_inference, semantic_inference
+    log(f"importing jax (impls={impls}, protocol={args.protocol}, "
+        f"fill={args.fill})")
+    ctx = BenchContext(args)
 
-    # warm reruns skip the 2-3 min eval-graph compile entirely (the cache
-    # round-trips serialized TPU executables even through the axon relay)
-    cache_dir = enable_compilation_cache()
-    log(f"jax ready, device={jax.devices()[0]}, compile cache={cache_dir}")
-
-    K = 133
-    labels = tuple((f"category {i}",) for i in range(K))
-    model = build_category_odise(
-        "full", train_labels=labels, with_clip_head=not args.no_clip_head,
-        use_checkpoint=False, slide_training=False, dtype=jnp.bfloat16)
-    log("model built")
-
-    S = args.image_size
-    B = args.batch
-    if args.fill == "pattern":
-        # deterministic, device-generated (one eager op): non-trivial
-        # activations everywhere so cross-impl checksums actually test the
-        # numerics, at zero upload cost
-        img = 0.5 + 0.5 * jnp.sin(
-            jnp.arange(B * S * S * 3, dtype=jnp.float32) * 0.37
-        ).reshape(B, S, S, 3)
-    else:
-        img = jnp.zeros((B, S, S, 3), jnp.float32)
-    text_raw = jnp.zeros((K, 768), jnp.float32)
-    clip_text = jnp.zeros((K, 768), jnp.float32)
-    overlap = jnp.zeros((K,), jnp.int32)
-    thing_mask = jnp.asarray([True] * 80 + [False] * (K - 80))
-
-    manifest_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "odise_tpu", "model_zoo", "bench_manifest.json.gz")
-    param_arg = None
-    unflatten = None
-    if not args.no_manifest and not args.no_clip_head:
+    results = []
+    for i, impl in enumerate(impls):
+        remaining = args.budget - (time.perf_counter() - _T0)
+        if results and remaining < 150.0:
+            log(f"stopping before [{impl}]: only {remaining:.0f}s left and "
+                "a result is already banked")
+            break
         try:
-            param_arg, unflatten = load_manifest_flat(
-                manifest_path, storage=args.param_storage)
-            if args.fill == "pattern":
-                # small deterministic weights, fused device-side fill: the
-                # jit fuses arange+sin+cast into the single output buffer
-                # (an eager chain materializes multi-GB f32 intermediates
-                # and OOMs the 16GB HBM). LayerNorms keep activations sane
-                # through the towers.
-                import functools
+            res = measure_impl(ctx, impl, remaining)
+        except Exception as e:
+            log(f"[{impl}] measurement failed: {e!r}")
+            continue
+        if results:
+            # cross-impl numerics gate (meaningful with --fill pattern):
+            # sem checksum is a continuous function of the logits
+            ref = results[0]["detail"]["checksum_sem"]
+            cur = res["detail"]["checksum_sem"]
+            denom = max(abs(ref), 1e-9)
+            rel = abs(cur - ref) / denom
+            res["detail"]["checksum_rel_diff_vs_first"] = float(rel)
+            lvl = "OK" if rel < 1e-2 else "MISMATCH"
+            log(f"[{impl}] checksum vs [{results[0]['detail']['deform_impl']}]"
+                f": rel diff {rel:.2e} [{lvl}]")
+        results.append(res)
+        if args.result_file:
+            with open(args.result_file, "a") as f:
+                f.write(json.dumps(res) + "\n")
+            log(f"[{impl}] result banked "
+                f"(value={res['value']}, step_ms={res['detail']['step_ms']})")
 
-                @functools.partial(jax.jit, static_argnums=(0, 1))
-                def _fill(n, dt):
-                    x = jnp.arange(n, dtype=jnp.float32)
-                    return (0.02 * jnp.sin(x * 0.001)).astype(dt)
-
-                filled = {}
-                for dt, v in param_arg.items():
-                    n, vdt = v.shape[0], v.dtype
-                    del v
-                    param_arg[dt] = None  # free the zeros before the fill
-                    filled[dt] = _fill(n, vdt)
-                param_arg = filled
-            log(f"params = flat {args.fill} buffers from static manifest "
-                f"({args.param_storage} storage)")
-        except Exception as e:  # stale/missing manifest: fall through
-            log(f"manifest unavailable ({e!r}); falling back to eval_shape")
-    if param_arg is None:
-        def init_fn():
-            return model.init(jax.random.PRNGKey(0), img, text_raw, labels,
-                              clip_text, labels, overlap,
-                              method=type(model).forward_eval)
-
-        shapes = jax.eval_shape(init_fn)
-        log("eval_shape trace done")
-        param_arg = jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-        unflatten = lambda v: v  # noqa: E731
-        log("zero params materialized")
-
-    # relay round-trip floor (scalar fetch); subtracted from per-iter time
-    @jax.jit
-    def tiny(x):
-        return jnp.sum(x[:, 0, 0, 0])
-
-    float(tiny(img))
-    t0 = time.perf_counter()
-    for _ in range(6):
-        float(tiny(img))
-    rtt = (time.perf_counter() - t0) / 6
-    log(f"relay rtt = {rtt * 1000:.1f} ms")
-
-    @jax.jit
-    def eval_step(param_arg, img, text_raw, clip_text, overlap):
-        variables = unflatten(param_arg)
-        mask_cls, mask_pred = model.apply(
-            variables, img, text_raw, labels, clip_text, labels, overlap,
-            method=type(model).forward_eval)
-        sem = jax.vmap(semantic_inference)(mask_cls, mask_pred)
-        pan = jax.vmap(lambda c, m: panoptic_inference(
-            c, m, thing_mask, object_mask_threshold=0.0, overlap_threshold=0.8)
-        )(mask_cls, mask_pred)
-        # scalar checksums: force real execution each iteration when fetched
-        # (block_until_ready alone is not a reliable barrier through the axon
-        # TPU relay); panoptic map stays on device otherwise. sem_sum is a
-        # CONTINUOUS function of the logits, so with --fill pattern it is a
-        # cross-impl numerics gate (pan sums go through argmaxes and may
-        # legitimately flip on fp-reassociation-level diffs).
-        return (jnp.sum(sem.astype(jnp.float32)),
-                jnp.sum(pan.panoptic_seg) + jnp.sum(pan.num_segments))
-
-    def fetch():
-        sem_sum, pan_sum = eval_step(param_arg, img, text_raw, clip_text,
-                                     overlap)
-        return float(sem_sum), float(pan_sum)
-
-    log("compiling eval graph")
-    t_compile0 = time.perf_counter()
-    sem_sum, pan_sum = fetch()
-    compile_s = time.perf_counter() - t_compile0
-    log(f"eval graph compiled+first-run in {compile_s:.1f}s; "
-        f"checksums sem={sem_sum!r} pan={pan_sum!r}")
-
-    for i in range(args.warmup):
-        fetch()
-        log(f"warmup {i + 1}/{args.warmup}")
-
-    times = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        fetch()
-        times.append(time.perf_counter() - t0)
-    # median, not mean: the shared chip + relay produce occasional multi-x
-    # outlier iterations (queue drains, host hiccups) that say nothing about
-    # the steady-state step time
-    times.sort()
-    med = times[len(times) // 2]
-    per_iter = max(med - rtt, 1e-6)
-    log(f"{args.iters} timed iters: median {med * 1000:.1f} ms "
-        f"(min {times[0] * 1000:.1f}, max {times[-1] * 1000:.1f}) "
-        f"-> {per_iter * 1000:.1f} ms/img")
-
-    batched = None
-    if args.batched > 1:
-        # realistic serving/eval configuration: bucketed same-shape batches
-        # (tools/train_net.py groups eval images the same way); measured in
-        # the same process so it shares the warm trunk weights
-        # only attempt when the remaining slice leaves room for the extra
-        # shape's compile: in auto mode this child may be running under a
-        # (budget - reserve) timeout, and losing the B=1 number to a slow
-        # batched compile would be strictly worse than skipping
-        elapsed = time.perf_counter() - _T0
-        if elapsed > args.budget - args.reserve - 150:
-            log(f"skipping batch-{args.batched} measurement "
-                f"(elapsed {elapsed:.0f}s too close to budget)")
-            batched = {"batch": args.batched, "skipped": True}
-        else:
-            try:
-                Bb = args.batched
-                if args.fill == "pattern":
-                    img_b = 0.5 + 0.5 * jnp.sin(
-                        jnp.arange(Bb * S * S * 3, dtype=jnp.float32) * 0.37
-                    ).reshape(Bb, S, S, 3)
-                else:
-                    img_b = jnp.zeros((Bb, S, S, 3), jnp.float32)
-
-                def fetch_b():
-                    a, b = eval_step(param_arg, img_b, text_raw, clip_text,
-                                     overlap)
-                    return float(a), float(b)
-
-                log(f"compiling batch-{Bb} eval graph")
-                t0 = time.perf_counter()
-                fetch_b()
-                compile_b = time.perf_counter() - t0
-                log(f"batch-{Bb} graph compiled+first-run in {compile_b:.1f}s")
-                fetch_b()  # warmup
-                tb = []
-                for _ in range(max(args.iters // 2, 3)):
-                    t0 = time.perf_counter()
-                    fetch_b()
-                    tb.append(time.perf_counter() - t0)
-                tb.sort()
-                med_b = max(tb[len(tb) // 2] - rtt, 1e-6)
-                batched = {"batch": Bb, "step_ms": round(med_b * 1000, 1),
-                           "img_per_sec": round(Bb / med_b, 4),
-                           "compile_s": round(compile_b, 1)}
-                log(f"batch-{Bb}: {med_b * 1000:.1f} ms/step -> "
-                    f"{Bb / med_b:.2f} img/s")
-            except Exception as e:  # e.g. HBM OOM at large batch
-                log(f"batch-{args.batched} measurement failed: {e!r}")
-                batched = {"batch": args.batched, "error": repr(e)[:200]}
-
-    imgs_per_sec = B / per_iter
-    print(json.dumps({
-        "metric": "img_per_sec_per_chip_1024px_open_vocab_panoptic_inference",
-        "value": round(imgs_per_sec, 4),
-        "unit": "img/s/chip",
-        "vs_baseline": round(imgs_per_sec / 4.0, 4),
-        "detail": {
-            "image_size": S,
-            "batch": B,
-            "clip_head": not args.no_clip_head,
-            "deform_impl": args.impl,
-            "param_storage": args.param_storage,
-            "compile_s": round(compile_s, 1),
-            "relay_rtt_ms": round(rtt * 1000, 1),
-            "step_ms": round(per_iter * 1000, 1),
-            "total_wall_s": round(time.perf_counter() - _T0, 1),
-            "fill": args.fill,
-            "checksum_sem": sem_sum,
-            "checksum_pan": pan_sum,
-            "batched": batched,
-            "device": str(jax.devices()[0]),
-        },
-    }))
+    if not results:
+        log("no successful measurement")
+        sys.exit(1)
+    best = max(results, key=lambda r: r["value"])
+    best["detail"]["attempts"] = [
+        {"impl": r["detail"]["deform_impl"], "batch": r["detail"]["batch"],
+         "value": r["value"]} for r in results]
+    print(json.dumps(best))
 
 
 if __name__ == "__main__":

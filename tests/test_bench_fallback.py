@@ -1,15 +1,20 @@
-"""The bench impl-fallback orchestration (bench.py run_with_fallback):
-a hung/degraded compile on the preferred impl must be killed with enough
-budget left for the robust fallback to record a number (VERDICT r3 #3's
-forced-failure proof, exercised with stub subprocesses)."""
+"""The bench orchestration (bench.py orchestrate / run_with_fallback):
+
+Round-5 design: ONE sequence child banks each completed measurement to a
+results file AS IT FINISHES; the parent kills it at the budget boundary and
+reports the BEST banked result (a timed-out later attempt can no longer cost
+the whole record — the r4 failure mode). run_with_fallback survives as the
+last-resort path when the child banked nothing. Exercised with stub
+subprocesses, including a forced kill mid-attempt."""
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
-from bench import run_with_fallback
+from bench import orchestrate, read_candidates, run_with_fallback
 
 PY = sys.executable
 
@@ -27,6 +32,72 @@ def _fail():
     return [PY, "-c", "import sys; sys.exit(3)"]
 
 
+def _bank_child(path, values, then_hang=False):
+    """Stub sequence child: append one result line per value, then
+    optionally hang (simulating a slow later attempt)."""
+    lines = "".join(
+        f"f.write(json.dumps({{'metric': 'm', 'value': {v}, "
+        f"'detail': {{'deform_impl': 'i{i}', 'batch': 1}}}}) + chr(10)); "
+        for i, v in enumerate(values))
+    code = (f"import json; f = open({path!r}, 'a'); {lines} f.flush()"
+            + ("; import time; time.sleep(600)" if then_hang else ""))
+    return [PY, "-c", code]
+
+
+# -- orchestrate ------------------------------------------------------------
+
+
+def test_best_banked_result_wins(tmp_path):
+    path = str(tmp_path / "r.jsonl")
+    line = orchestrate(_bank_child(path, [5.3, 6.5, 6.1]), [],
+                       budget_s=60, margin_s=5, result_path=path,
+                       log=lambda m: None)
+    res = json.loads(line)
+    assert res["value"] == 6.5
+    assert [a["value"] for a in res["detail"]["attempts"]] == [5.3, 6.5, 6.1]
+
+
+def test_killed_child_keeps_banked_results(tmp_path):
+    path = str(tmp_path / "r.jsonl")
+    t0 = time.perf_counter()
+    line = orchestrate(_bank_child(path, [5.7], then_hang=True), [],
+                       budget_s=36, margin_s=2, result_path=path,
+                       log=lambda m: None)
+    dt = time.perf_counter() - t0
+    assert json.loads(line)["value"] == 5.7
+    # the child must have been killed at (budget - margin) — the 30 s
+    # floor — not run to completion
+    assert dt < 120, dt
+
+
+def test_empty_bank_falls_back(tmp_path):
+    path = str(tmp_path / "r.jsonl")
+    line = orchestrate(_fail(), [("ok", _emit("ok"))],
+                       budget_s=60, margin_s=5, result_path=path,
+                       log=lambda m: None)
+    assert json.loads(line)["metric"] == "ok"
+
+
+def test_everything_fails_returns_none(tmp_path):
+    path = str(tmp_path / "r.jsonl")
+    assert orchestrate(_fail(), [("bad", _fail())],
+                       budget_s=60, margin_s=5, result_path=path,
+                       log=lambda m: None) is None
+
+
+def test_read_candidates_skips_garbage(tmp_path):
+    path = tmp_path / "r.jsonl"
+    path.write_text('noise\n{"value": 1.0}\n{broken\n{"value": 2.0}\n')
+    assert [c["value"] for c in read_candidates(str(path))] == [1.0, 2.0]
+
+
+def test_read_candidates_missing_file():
+    assert read_candidates("/nonexistent/nope.jsonl") == []
+
+
+# -- run_with_fallback (last-resort path) -----------------------------------
+
+
 def test_first_success_wins():
     line = run_with_fallback([("a", _emit("a")), ("b", _emit("b"))],
                              budget_s=60, reserve_s=5, log=lambda m: None)
@@ -39,8 +110,6 @@ def test_hung_attempt_is_killed_and_fallback_records():
                              budget_s=36, reserve_s=2, log=lambda m: None)
     dt = time.perf_counter() - t0
     assert json.loads(line)["metric"] == "ok"
-    # the hung attempt must have been killed at its (budget - reserve)
-    # slice — the 30 s floor — not run to completion
     assert dt < 120, dt
 
 
@@ -54,9 +123,3 @@ def test_all_fail_returns_none():
     assert run_with_fallback([("bad", _fail()), ("bad2", _fail())],
                              budget_s=60, reserve_s=5,
                              log=lambda m: None) is None
-
-
-def test_json_line_extracted_from_noisy_stdout():
-    line = run_with_fallback([("noisy", _emit("noisy"))],
-                             budget_s=60, reserve_s=5, log=lambda m: None)
-    assert json.loads(line)["metric"] == "noisy"
