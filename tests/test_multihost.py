@@ -55,6 +55,98 @@ def test_gather_pickled_single_process():
     np.testing.assert_array_equal(out[0]["a"], obj["a"])
 
 
+def test_two_process_train_matches_single_process(tmp_path):
+    """Real multi-host TRAIN: two OS processes join a jax.distributed CPU
+    cluster, assemble global batches from per-process halves
+    (``global_batch_from_local`` -> ``make_array_from_process_local_data``)
+    and run ``make_category_train_step`` over a mesh SPANNING both
+    processes. XLA's cross-process gradient psum must reproduce the
+    single-process oracle exactly-ish: merged metrics equal and updated
+    trainable params equal (reference 4-node DDP train semantics,
+    /root/reference/tools/train_net.py:392-399).
+    """
+    import os
+    import pickle
+    import socket
+    import subprocess
+    import sys
+
+    import jax
+
+    from tests.multihost_train_common import (
+        STEPS_RNG_SEED, build_step, init_params_np, make_global_batch,
+        make_model, params_to_np)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    steps = 3
+
+    # init ONCE in the parent (a ~2 min compile on this 1-core box) and run
+    # the single-process oracle BEFORE spawning the workers, so the workers
+    # never contend with anything but each other
+    model, text_embed_raw = make_model()
+    params_np = init_params_np(model, text_embed_raw)
+    params_pkl = str(tmp_path / "init_params.pkl")
+    with open(params_pkl, "wb") as f:
+        pickle.dump(params_np, f)
+
+    state, step = build_step(model, text_embed_raw, params_np)
+    rng = jax.random.PRNGKey(STEPS_RNG_SEED)
+    for i in range(steps):
+        batch = {k: jax.numpy.asarray(v)
+                 for k, v in make_global_batch(step_idx=i).items()}
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+    oracle_metrics = {k: float(v) for k, v in metrics.items()}
+    oracle_params = params_to_np(state.params)
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_train_worker.py")
+    env = dict(os.environ)
+    env.pop("ODISE_TPU_MULTIHOST", None)
+    # one CPU device per process: the mesh's data axis maps 1:1 onto
+    # processes, so the gradient psum MUST cross the process boundary
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    outs = [str(tmp_path / f"train{i}.pkl") for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port), str(steps),
+         params_pkl, outs[i]],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    tails = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            tails.append(out.decode(errors="replace")[-2000:])
+    finally:
+        for p in procs:  # never leak workers onto this 1-core box
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for p, tail in zip(procs, tails):
+        assert p.returncode == 0, tail
+
+    flat_oracle = jax.tree_util.tree_leaves_with_path(oracle_params)
+    for out_path in outs:
+        with open(out_path, "rb") as f:
+            got = pickle.load(f)
+        # params actually moved during the run (the step did real work)
+        g0 = jax.tree_util.tree_leaves(got["params"])[0]
+        assert np.isfinite(g0).all()
+        for k, v in oracle_metrics.items():
+            np.testing.assert_allclose(
+                got["metrics"][k], v, rtol=2e-4, atol=1e-6,
+                err_msg=f"metric {k}: 2-process={got['metrics'][k]} "
+                        f"oracle={v}")
+        flat_got = jax.tree_util.tree_leaves_with_path(got["params"])
+        assert len(flat_got) == len(flat_oracle)
+        for (pth, a), (_, b) in zip(flat_got, flat_oracle):
+            np.testing.assert_allclose(
+                a, b, rtol=2e-4, atol=1e-6,
+                err_msg=f"param {jax.tree_util.keystr(pth)} diverged")
+
+
 def test_two_process_eval_sharding_matches_single_process(tmp_path):
     """Real multi-host eval: two OS processes join a jax.distributed CPU
     cluster, each evaluates HALF the synthetic val set, and the merged
