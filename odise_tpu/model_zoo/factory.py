@@ -62,9 +62,15 @@ def build_category_odise(
     use_checkpoint: bool = True,
     slide_training: bool = True,
     slide_serial: bool = True,
+    backbone_in_size: Optional[tuple] = None,
     dtype=jnp.float32,
 ) -> CategoryODISE:
     cfg = dict(TINY if scale == "tiny" else FULL)
+    if backbone_in_size is not None:
+        # override so tiny-scale tests can exercise a REAL slide grid
+        # (image larger than the backbone window), cf. reference
+        # odise/modeling/backbone/feature_extractor.py:181-250
+        cfg["backbone_in_size"] = tuple(backbone_in_size)
     if train_labels is None:
         if scale == "tiny":
             train_labels = (("thing a",), ("thing b",), ("stuff c",))
@@ -138,12 +144,15 @@ def build_caption_odise(
     use_checkpoint: bool = True,
     slide_training: bool = True,
     slide_serial: bool = True,
+    backbone_in_size: Optional[tuple] = None,
     dtype=jnp.float32,
 ) -> CaptionODISE:
     """Caption-supervised variant (reference
     configs/common/models/mask_generator_with_caption.py:27-105:
     num_classes=1, WordEmbed, MaskGroundingCriterion)."""
     cfg = dict(TINY if scale == "tiny" else FULL)
+    if backbone_in_size is not None:
+        cfg["backbone_in_size"] = tuple(backbone_in_size)
     if train_labels is None:
         if scale == "tiny":
             train_labels = (("thing a",), ("thing b",), ("stuff c",))

@@ -239,9 +239,16 @@ def _matmul_level(value_lvl, h, w, loc, a_lvl):
 
 
 def _hybrid_impl(value, spatial_shapes, sampling_locations, attention_weights,
-                 matmul_max_rows: int = 1024):
+                 matmul_max_rows: Optional[int] = None):
     """Per-level strategy: one-hot matmul for small levels (MXU), quad-row
-    gather for large ones (where the W matrix would dominate traffic)."""
+    gather for large ones (where the W matrix would dominate traffic).
+
+    ``matmul_max_rows`` defaults to $ODISE_TPU_DEFORM_MATMUL_ROWS (1024):
+    the largest level (h*w rows) still computed as a one-hot matmul.
+    """
+    if matmul_max_rows is None:
+        matmul_max_rows = int(
+            os.environ.get("ODISE_TPU_DEFORM_MATMUL_ROWS", "1024"))
     B, Len_v, n_heads, head_dim = value.shape
     small = [i for i, (h, w) in enumerate(spatial_shapes)
              if h * w <= matmul_max_rows]
@@ -321,6 +328,17 @@ def ms_deform_attn(
     if impl in ("reference", "xla"):
         return _reference_impl(value, spatial_shapes, sampling_locations,
                                attention_weights)
+    if impl == "skip":
+        # DEBUG ONLY (perf attribution): replaces the sampled attention with
+        # a near-free mean-pool so the RAW cost of this op inside a full
+        # graph = (e2e with real impl) - (e2e with "skip"). Wrong numerics
+        # by design; never a serving path.
+        B, Len_v, n_heads, head_dim = value.shape
+        Len_q = sampling_locations.shape[1]
+        pooled = jnp.mean(value, axis=1, keepdims=True)  # [B,1,H,D]
+        return jnp.broadcast_to(
+            pooled, (B, Len_q, n_heads, head_dim)
+        ).reshape(B, Len_q, n_heads * head_dim)
     if impl == "pallas":
         # hybrid split with a VMEM-resident Pallas gather for large levels
         from .pallas.ms_deform_attn_kernel import ms_deform_attn_pallas

@@ -20,6 +20,20 @@ mask embeds and caption-word embeds (reference odise.py:815-907) — open
 -vocabulary eval classification must emerge from word/mask-embed
 alignment. Calibration: 200 steps @ lr 2e-3 on varied-content captioned
 shapes reaches PQ 47.8 / mIoU 58.5 / AP 33.5 (loss -44%) in ~7 min.
+
+Round 5 (VERDICT r4 weak #4): both tests now run the SHIPPED-config train
+features, so a gradient bug specific to those paths fails the quality
+loop. Category: serial-remat slide over a real 2x2 crop grid (128px
+images over the tiny 64px backbone window; use_checkpoint=True +
+slide_training=True, configs/common/models/odise_with_label.py:25).
+Caption: grounding collect_mode="diff" with the batch sharded over a
+2-device CPU data mesh, so the InfoNCE negatives cross device boundaries
+through the gradient-carrying all_gather (mask_generator_with_caption.py:
+37; the reference needed diffdist for this). Calibration (1-core box):
+shipped category 100 steps -> PQ 80.8 / mIoU 78.6 / AP 54.2 (loss -72%,
+~6 min); caption-diff 200 steps -> PQ 45.1 / mIoU 87.7 / AP 57.4 (loss
+-40%, ~7 min). The plain (no-slide, collect_mode=None) paths stay covered
+by tests/test_multihost.py, test_accum.py and dryrun_multichip.
 """
 
 import os
@@ -30,12 +44,14 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 
-def test_synthetic_convergence(tmp_path):
+def test_synthetic_convergence_shipped_category(tmp_path):
     from convergence import run_convergence
 
     result = run_convergence(
         str(tmp_path), steps=100, batch=4, lr=2e-3, n_train=32, n_val=8,
-        seed=0, eval_before=True, dataset_name="_synth_conv_test")
+        seed=0, eval_before=True, dataset_name="_synth_conv_test",
+        use_checkpoint=True, slide_training=True,
+        backbone_in_size=(64, 64), size=128)
 
     before = result["metrics_before"]
     after = result["metrics_after"]
@@ -56,15 +72,26 @@ def test_synthetic_convergence(tmp_path):
     assert np.isfinite(result["loss_first10_mean"])
 
 
-def test_synthetic_convergence_caption(tmp_path):
+def test_synthetic_convergence_caption_diff_mesh(tmp_path):
     """Caption-supervised variant: open-vocab recognition must EMERGE from
-    the grounding InfoNCE (no category labels anywhere in training)."""
+    the grounding InfoNCE (no category labels anywhere in training) — with
+    the shipped collect_mode="diff" grounding over a 2-device data mesh,
+    so the negatives (and their gradients) cross device boundaries."""
+    import jax
+
     from convergence import run_convergence
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs >=2 devices (conftest forces an 8-device CPU "
+                    "mesh; a bare run may have 1)")
 
     result = run_convergence(
         str(tmp_path), variant="caption", steps=200, batch=4, lr=2e-3,
         n_train=32, n_val=8, seed=0, eval_before=True,
-        dataset_name="_synth_conv_caption_test")
+        dataset_name="_synth_conv_caption_test",
+        collect_mode="diff", data_mesh=True)
 
     before = result["metrics_before"]
     after = result["metrics_after"]

@@ -61,7 +61,20 @@ def run_convergence(
     eval_before: bool = True,
     log_every: int = 25,
     dataset_name: str = "_synth_convergence_val",
+    use_checkpoint: bool = False,
+    slide_training: bool = False,
+    backbone_in_size=None,
+    collect_mode=None,
+    data_mesh: bool = False,
 ) -> dict:
+    """``use_checkpoint``/``slide_training``/``backbone_in_size`` turn on the
+    SHIPPED category train features (serial-remat slide over a crop grid,
+    configs/common/models/odise_with_label.py slide_training=True +
+    use_checkpoint); ``collect_mode``/``data_mesh`` turn on the shipped
+    caption features (grounding negatives spanning a data-sharded global
+    batch under GSPMD — the jit counterpart of the reference's diffdist
+    all_gather, mask_generator_with_caption.py collect_mode="diff"). A
+    gradient bug specific to those paths fails convergence here."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -101,19 +114,19 @@ def run_convergence(
     MetadataCatalog.get(dataset_name).set(
         ignore_label=255, categories=synth_categories())
 
+    build_kw = dict(train_labels=SYNTH_LABELS, with_clip_head=False,
+                    use_checkpoint=use_checkpoint,
+                    slide_training=slide_training,
+                    backbone_in_size=backbone_in_size)
     if caption:
         num_words = 4
-        model = build_caption_odise(
-            "tiny", train_labels=SYNTH_LABELS, with_clip_head=False,
-            use_checkpoint=False, slide_training=False)
+        model = build_caption_odise("tiny", **build_kw)
         variables = model.init(
             jax.random.PRNGKey(seed), jnp.zeros((1, size, size, 3)),
             jnp.zeros((1, num_words, 77), jnp.int32),
             method=type(model).init_full)
     else:
-        model = build_category_odise(
-            "tiny", train_labels=SYNTH_LABELS, with_clip_head=False,
-            use_checkpoint=False, slide_training=False)
+        model = build_category_odise("tiny", **build_kw)
         variables = model.init(
             jax.random.PRNGKey(seed), jnp.zeros((1, size, size, 3)),
             jnp.zeros((len(SYNTH_LABELS), 16)), method=type(model).init_full)
@@ -124,6 +137,23 @@ def run_convergence(
     flat = [t for group in SYNTH_LABELS for t in group]
     text_raw = model.apply(variables, jnp.asarray(tokenize(flat)),
                            method=type(model).encode_vocab)
+
+    mesh = None
+    if data_mesh:
+        # shipped scale-out shape: batch sharded over a data mesh, params
+        # replicated; XLA inserts the grad psum and — for the caption
+        # grounding — the collectives that make negatives span the GLOBAL
+        # batch (the reference's diffdist all_gather, odise.py:93-118)
+        from odise_tpu.parallel.mesh import batch_sharding, create_mesh, shard_params
+
+        devices = jax.devices()
+        n_data = min(batch, len(devices))
+        assert batch % n_data == 0, (batch, n_data)
+        mesh = create_mesh(data=n_data, model=1, devices=devices[:n_data])
+        variables = dict(variables)
+        variables["params"] = shard_params(variables["params"], mesh)
+        batch_shard = batch_sharding(mesh)
+        log(f"data mesh: {n_data} devices, batch {batch} sharded")
 
     trainable, frozen = partition_params(variables["params"])
     n_trainable = sum(int(np.prod(l.shape))
@@ -139,15 +169,15 @@ def run_convergence(
 
         cfg = CriterionConfig(num_classes=1, num_points=num_points)
         step = make_caption_train_step(
-            model, tx, cfg, GroundingConfig(collect_mode=None),
-            frozen_params=frozen, grad_clip=grad_clip,
+            model, tx, cfg, GroundingConfig(collect_mode=collect_mode),
+            mesh=mesh, frozen_params=frozen, grad_clip=grad_clip,
             accum_steps=accum_steps)
     else:
         cfg = CriterionConfig(num_classes=len(SYNTH_LABELS),
                               num_points=num_points)
         step = make_category_train_step(
             model, tx, cfg, text_embed_raw=text_raw, labels=SYNTH_LABELS,
-            frozen_params=frozen, grad_clip=grad_clip,
+            mesh=mesh, frozen_params=frozen, grad_clip=grad_clip,
             accum_steps=accum_steps)
 
     mapper = COCOPanopticDatasetMapper(
@@ -175,7 +205,10 @@ def run_convergence(
     before = None
     if eval_before:
         log("eval (untrained baseline)")
-        before = evaluate(variables)
+        # eval builds its own device placement (it may use a different
+        # device subset than the train mesh) — feed it host arrays
+        before = evaluate(jax.device_get(variables) if mesh is not None
+                          else variables)
         log(f"untrained: PQ={before.get('PQ'):.2f} "
             f"mIoU={before.get('mIoU'):.2f} AP={before.get('AP'):.2f}")
 
@@ -185,7 +218,11 @@ def run_convergence(
     t_train0 = time.perf_counter()
     for it in range(steps):
         bt = next(loader)
-        bt = {k: jnp.asarray(v) for k, v in bt.items()}
+        if mesh is not None:
+            bt = {k: jax.device_put(np.asarray(v), batch_shard)
+                  for k, v in bt.items()}
+        else:
+            bt = {k: jnp.asarray(v) for k, v in bt.items()}
         rng, step_rng = jax.random.split(rng)
         state, metrics = step(state, bt, step_rng)
         total = float(metrics["total_loss"])
@@ -196,8 +233,16 @@ def run_convergence(
                 f"grad_norm={float(metrics['grad_norm']):9.3f}")
     train_s = time.perf_counter() - t_train0
 
-    trained_vars = dict(variables)
-    trained_vars["params"] = merge_param_trees(frozen, state.params)
+    trained = state.params
+    if mesh is not None:
+        # eval runs its own device placement; pull everything (trained,
+        # frozen, and any non-param collections) off the train mesh first
+        trained = jax.device_get(trained)
+        frozen = jax.device_get(frozen)
+        trained_vars = dict(jax.device_get(variables))
+    else:
+        trained_vars = dict(variables)
+    trained_vars["params"] = merge_param_trees(frozen, trained)
     log("eval (trained)")
     after = evaluate(trained_vars)
     log(f"trained: PQ={after.get('PQ'):.2f} mIoU={after.get('mIoU'):.2f} "
@@ -238,6 +283,17 @@ def main():
     ap.add_argument("--num-points", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-eval-before", action="store_true")
+    ap.add_argument("--shipped-category", action="store_true",
+                    help="shipped-config category features: serial-remat "
+                    "slide over a 2x2 crop grid (use_checkpoint=True, "
+                    "slide_training=True, 128px images over the tiny "
+                    "model's 64px backbone window)")
+    ap.add_argument("--collect-mode", default=None,
+                    choices=["diff", "concat"],
+                    help="caption grounding collect mode (shipped configs "
+                    "use 'diff')")
+    ap.add_argument("--data-mesh", action="store_true",
+                    help="shard the batch over a data mesh of local devices")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (tiny model; avoids paying "
                     "TPU relay latency per step)")
@@ -247,11 +303,20 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    shipped = {}
+    if args.shipped_category:
+        # image (128px) larger than the backbone window (the tiny scale's
+        # native 64px — smaller windows underflow the tiny UNet's
+        # down-stack) -> a REAL 2x2 slide grid through the serial-remat
+        # train path, like the shipped 1024px-over-512px-window configs
+        shipped = dict(use_checkpoint=True, slide_training=True,
+                       backbone_in_size=(64, 64), size=128)
     result = run_convergence(
         args.out, variant=args.variant, steps=args.steps, batch=args.batch,
         accum_steps=args.accum_steps, lr=args.lr, grad_clip=args.grad_clip,
         n_train=args.n_train, n_val=args.n_val, num_points=args.num_points,
-        seed=args.seed, eval_before=not args.no_eval_before)
+        seed=args.seed, eval_before=not args.no_eval_before,
+        collect_mode=args.collect_mode, data_mesh=args.data_mesh, **shipped)
     print(json.dumps(result))
 
 

@@ -23,18 +23,41 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def timed(fn, args, iters=5, warmup=1, name=""):
+def cost_of(fn, args):
+    """AOT-compile and return (compiled, flops, bytes_accessed)."""
+    import jax
+
+    compiled = jax.jit(fn).lower(*args).compile()
+    flops = bytes_acc = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0)) or None
+        bytes_acc = float(ca.get("bytes accessed", 0.0)) or None
+    except Exception:
+        pass
+    return compiled, flops, bytes_acc
+
+
+def timed(fn, args, iters=5, warmup=1, name="", stats=None):
     t_c0 = time.perf_counter()
-    _ = float(fn(*args))
+    compiled, flops, bytes_acc = cost_of(fn, args)
+    _ = float(compiled(*args))
     compile_s = time.perf_counter() - t_c0
     for _ in range(warmup):
-        float(fn(*args))
+        float(compiled(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        s = float(fn(*args))
+        s = float(compiled(*args))
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name:40s} {dt * 1000:8.1f} ms  (compile {compile_s:.0f}s)",
-          flush=True)
+    tf = f"{flops / 1e12:6.2f} TF" if flops else "    n/a  "
+    gb = f"{bytes_acc / 1e9:6.2f} GB" if bytes_acc else "    n/a  "
+    print(f"{name:40s} {dt * 1000:8.1f} ms  {tf}  {gb}  "
+          f"(compile {compile_s:.0f}s)", flush=True)
+    if stats is not None:
+        stats[name] = {"ms": round(dt * 1000, 1), "flops": flops,
+                       "bytes": bytes_acc}
     return dt
 
 
@@ -93,41 +116,42 @@ def main():
         flats, unflatten = load_manifest_flat(
             manifest_path, storage=args.param_storage)
 
-    @jax.jit
+    stats = {}
+
     def rtt_fn(x):
         return jnp.sum(x[:, 0, 0, 0])
 
-    t_rtt = timed(rtt_fn, (img,), name="relay round-trip (tiny op)")
+    t_rtt = timed(rtt_fn, (img,), name="rtt", stats=stats)
 
-    bb = jax.jit(lambda v, x: tree_sum(model.apply(
+    bb = lambda v, x: tree_sum(model.apply(  # noqa: E731
         unflatten(v), x, training=False,
-        method=lambda m, xx, training: m.backbone(xx, training=training))))
-    t_bb = timed(bb, (flats, img), name="backbone (SD features)")
+        method=lambda m, xx, training: m.backbone(xx, training=training)))
+    t_bb = timed(bb, (flats, img), name="backbone", stats=stats)
 
-    pixdec = jax.jit(lambda v, x: tree_sum(model.apply(
+    pixdec = lambda v, x: tree_sum(model.apply(  # noqa: E731
         unflatten(v), x,
         method=lambda m, xx: m.sem_seg_head.pixel_decoder(
-            m.backbone(xx, training=False)))))
-    t_pix = timed(pixdec, (flats, img), name="backbone+pixel_decoder")
+            m.backbone(xx, training=False))))
+    t_pix = timed(pixdec, (flats, img), name="pixel_decoder", stats=stats)
 
-    head = jax.jit(lambda v, x: tree_sum({
+    head = lambda v, x: tree_sum({  # noqa: E731
         k: val for k, val in model.apply(
             unflatten(v), x, False, method=type(model).forward_features).items()
-        if k in ("pred_masks", "pred_logits", "mask_embed")}))
-    t_head = timed(head, (flats, img), name="backbone+head")
+        if k in ("pred_masks", "pred_logits", "mask_embed")})
+    t_head = timed(head, (flats, img), name="transformer_decoder",
+                   stats=stats)
 
-    noclip = jax.jit(lambda v, x, t: tree_sum(model.apply(
-        unflatten(v), x, t, labels, method=type(model).forward_eval)))
+    noclip = lambda v, x, t: tree_sum(model.apply(  # noqa: E731
+        unflatten(v), x, t, labels, method=type(model).forward_eval))
     t_noclip = timed(noclip, (flats, img, text_raw),
-                     name="eval fwd+upsample (no clip head)")
+                     name="upsample_category", stats=stats)
 
-    full = jax.jit(lambda v, x, t, ct, ov: tree_sum(model.apply(
+    full = lambda v, x, t, ct, ov: tree_sum(model.apply(  # noqa: E731
         unflatten(v), x, t, labels, ct, labels, ov,
-        method=type(model).forward_eval)))
+        method=type(model).forward_eval))
     t_full = timed(full, (flats, img, text_raw, clip_text, overlap),
-                   name="eval fwd+upsample (clip head)")
+                   name="clip_head", stats=stats)
 
-    @jax.jit
     def fused(v, x, t, ct, ov):
         mask_cls, mask_pred = model.apply(
             unflatten(v), x, t, labels, ct, labels, ov,
@@ -138,20 +162,33 @@ def main():
         return jnp.sum(sem) + jnp.sum(pan.panoptic_seg)
 
     t_all = timed(fused, (flats, img, text_raw, clip_text, overlap),
-                  name="eval + fusion (end to end)")
+                  name="fusion", stats=stats)
 
-    r = 1000
-    print(json.dumps({
-        "impl": args.impl,
-        "rtt_ms": round(t_rtt * r, 1),
-        "backbone_ms": round((t_bb - t_rtt) * r, 1),
-        "pixel_decoder_ms": round((t_pix - t_bb) * r, 1),
-        "transformer_decoder_ms": round((t_head - t_pix) * r, 1),
-        "upsample_category_ms": round((t_noclip - t_head) * r, 1),
-        "clip_head_ms": round((t_full - t_noclip) * r, 1),
-        "fusion_ms": round((t_all - t_full) * r, 1),
-        "end_to_end_ms": round((t_all - t_rtt) * r, 1),
-    }))
+    # each graph nests the previous stages, so per-component cost = delta.
+    # per-component MFU/bandwidth says WHICH resource each stage saturates
+    # (MXU vs HBM) — the round-5 kernel-effort map (VERDICT r4 #3).
+    chain = ["rtt", "backbone", "pixel_decoder", "transformer_decoder",
+             "upsample_category", "clip_head", "fusion"]
+    peak_tf, peak_gbps = 197e12, 819e9  # v5e bf16 peak, HBM BW
+    out = {"impl": args.impl, "image_size": S,
+           "rtt_ms": stats["rtt"]["ms"],
+           "end_to_end_ms": round((t_all - t_rtt) * 1000, 1),
+           "components": {}}
+    for prev, cur in zip(chain, chain[1:]):
+        d_ms = stats[cur]["ms"] - stats[prev]["ms"]
+        comp = {"ms": round(d_ms, 1)}
+        if stats[cur]["flops"] and stats[prev]["flops"] is not None:
+            d_fl = stats[cur]["flops"] - (stats[prev]["flops"] or 0.0)
+            comp["gflops"] = round(d_fl / 1e9, 1)
+            if d_ms > 0.05:
+                comp["mfu_pct"] = round(100 * d_fl / (d_ms / 1e3) / peak_tf, 1)
+        if stats[cur]["bytes"] and stats[prev]["bytes"] is not None:
+            d_b = stats[cur]["bytes"] - (stats[prev]["bytes"] or 0.0)
+            comp["gbytes"] = round(d_b / 1e9, 2)
+            if d_ms > 0.05:
+                comp["hbm_pct"] = round(100 * d_b / (d_ms / 1e3) / peak_gbps, 1)
+        out["components"][cur] = comp
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
