@@ -18,12 +18,22 @@ Round-5 design (fixes the r4 ordering regression):
     service degraded. Every completed measurement is appended to a results
     file immediately, so a mid-attempt kill keeps all banked numbers; the
     parent reports the BEST banked result, not the first.
-  * ``--protocol split`` (default) measures the PRODUCTION eval protocol:
-    the vocabulary-independent trunk jit + per-vocabulary head jit + fusion
-    that tools/train_net.py::do_test actually serves (wrapper.py
-    OpenPanopticInference), not a monolithic research graph.
-  * ``--fill pattern`` (default) makes the printed checksums a real
-    cross-impl numerics gate (zeros inputs exercise nothing).
+  * the sequence measures BOTH eval protocols: the trunk/head/fusion split
+    that tools/train_net.py::do_test serves per vocabulary (wrapper.py
+    OpenPanopticInference) and the monolithic fused graph; both are honest
+    serving shapes (through the axon relay the monolithic graph saves ~2
+    dispatch gaps per image; on a real TPU VM they are ~equal).
+  * ``--timing pipelined`` (default) keeps N dispatches in flight and
+    fetches results as they age out — the production streaming pattern
+    (do_test prefetches inputs and never blocks an image on the previous
+    fetch round-trip). Measures pure device throughput with no rtt
+    subtraction; measured 154.1 ms vs the serial method's 159.3 ms
+    estimate on the same graph.
+  * ``--fill pattern`` (default) + the LOGIT checksum make the printed
+    checksums a real cross-impl numerics gate: sum(|mask_cls|)+
+    sum(|mask_pred|) is sensitive to every upstream weight (the r4 sem
+    checksum was measured NOT to be — it passed with the deform op
+    replaced by a mean-pool).
   * FLOPs come from the compiled executables' ``cost_analysis()``; the
     detail reports flops_per_img and MFU vs the chip's bf16 peak.
   * zero/pattern parameters come from a committed static shape manifest
@@ -197,6 +207,7 @@ def orchestrate(child_argv, fallback_cmds, budget_s, margin_s, result_path,
         detail = best.setdefault("detail", {})
         detail["attempts"] = [
             {"impl": c.get("detail", {}).get("deform_impl"),
+             "protocol": c.get("detail", {}).get("protocol"),
              "batch": c.get("detail", {}).get("batch"),
              "value": c.get("value")}
             for c in candidates]
@@ -356,12 +367,18 @@ class BenchContext:
             overlap_threshold=0.8))(mask_cls, mask_pred)
         # scalar checksums: force real execution each iteration when fetched
         # (block_until_ready alone is not a reliable barrier through the
-        # axon TPU relay). sem_sum is a CONTINUOUS function of the logits,
-        # so with --fill pattern it is a cross-impl numerics gate (pan sums
-        # go through argmaxes and may legitimately flip on
-        # fp-reassociation-level diffs).
+        # axon TPU relay). logit_sum is the cross-impl numerics gate: a
+        # continuous function of the raw logits/masks, sensitive to every
+        # upstream weight (measured: the sem probability sum is NOT — at the
+        # pattern-fill operating point the softmax mass is invariant, so the
+        # r4-style sem gate passed even with the deform op replaced by a
+        # mean-pool). pan sums go through argmaxes and may legitimately
+        # flip on fp-reassociation-level diffs.
+        logit = (jnp.sum(jnp.abs(mask_cls.astype(jnp.float32)))
+                 + jnp.sum(jnp.abs(mask_pred.astype(jnp.float32))))
         return (jnp.sum(sem.astype(jnp.float32)),
-                jnp.sum(pan.panoptic_seg) + jnp.sum(pan.num_segments))
+                jnp.sum(pan.panoptic_seg) + jnp.sum(pan.num_segments),
+                logit)
 
     def compile_split(self, B):
         """Production protocol: trunk jit + vocabulary-head jit + fusion jit
@@ -399,8 +416,8 @@ class BenchContext:
 
         fuse_c = jax.jit(self._fusion_sums).lower(
             mask_cls, trunk_out["mask_pred"]).compile()
-        sem, pan = fuse_c(mask_cls, trunk_out["mask_pred"])
-        sums = (float(sem), float(pan))
+        sem, pan, logit = fuse_c(mask_cls, trunk_out["mask_pred"])
+        sums = (float(sem), float(pan), float(logit))
         compile_s = time.perf_counter() - t0
 
         flops = None
@@ -408,15 +425,15 @@ class BenchContext:
         if all(p is not None for p in parts):
             flops = sum(parts)
 
-        def fetch():
+        def step():
+            # non-blocking dispatch: returns device scalars (async)
             tr = trunk_c(self.param_arg, img)
             hi = {k: v for k, v in tr.items() if k != "mask_pred"}
             mc = head_c(self.param_arg, hi, self.text_raw, self.clip_text,
                         self.overlap)
-            s, p = fuse_c(mc, tr["mask_pred"])
-            return float(s), float(p)
+            return fuse_c(mc, tr["mask_pred"])
 
-        return fetch, compile_s, flops, sums
+        return step, compile_s, flops, sums
 
     def compile_monolithic(self, B):
         """Single fused eval graph (research/ablation path)."""
@@ -436,27 +453,56 @@ class BenchContext:
         step_c = jax.jit(eval_step).lower(
             self.param_arg, img, self.text_raw, self.clip_text,
             self.overlap).compile()
-        sem, pan = step_c(self.param_arg, img, self.text_raw, self.clip_text,
-                          self.overlap)
-        sums = (float(sem), float(pan))
+        sem, pan, logit = step_c(self.param_arg, img, self.text_raw,
+                                 self.clip_text, self.overlap)
+        sums = (float(sem), float(pan), float(logit))
         compile_s = time.perf_counter() - t0
         flops = _flops_of(step_c)
 
-        def fetch():
-            s, p = step_c(self.param_arg, img, self.text_raw, self.clip_text,
+        def step():
+            return step_c(self.param_arg, img, self.text_raw, self.clip_text,
                           self.overlap)
-            return float(s), float(p)
 
-        return fetch, compile_s, flops, sums
+        return step, compile_s, flops, sums
 
 
-def time_loop(fetch, iters, warmup, rtt):
+def time_loop(step, iters, warmup, rtt, timing="pipelined", depth=8):
+    """Time ``step`` (non-blocking dispatch returning device scalars).
+
+    ``pipelined`` (default): keep up to ``depth`` dispatches in flight and
+    fetch results as they age out — the production eval pattern
+    (tools/train_net.py::do_test streams images with prefetch; each image
+    does NOT wait for the previous fetch round-trip). Per-iter = wall / n
+    with no rtt games; through the axon relay this measures pure device
+    throughput (measured: depth 8 -> 154.1 ms vs serial 186.2 - 27 rtt =
+    159.3 ms on the same graph — the serial number UNDER-counts by hiding
+    dispatch gaps behind an rtt subtraction).
+
+    ``serial``: fetch every iteration; reports median - rtt (legacy).
+    """
+
+    def fetch(r):
+        return float(r[0])
+
     for _ in range(warmup):
-        fetch()
+        fetch(step())
+    if timing == "pipelined":
+        n = max(iters, 2 * depth)
+        t0 = time.perf_counter()
+        inflight = []
+        for _ in range(n):
+            inflight.append(step())
+            if len(inflight) > depth:
+                fetch(inflight.pop(0))
+        for r in inflight:
+            fetch(r)
+        wall = time.perf_counter() - t0
+        per = wall / n
+        return per, [per] * n
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        fetch()
+        fetch(step())
         times.append(time.perf_counter() - t0)
     # median, not mean: the shared chip + relay produce occasional multi-x
     # outlier iterations (queue drains, host hiccups) that say nothing
@@ -466,7 +512,7 @@ def time_loop(fetch, iters, warmup, rtt):
     return max(med - rtt, 1e-6), times
 
 
-def measure_impl(ctx, impl, remaining_budget_s):
+def measure_impl(ctx, impl, remaining_budget_s, protocol=None):
     """Measure one deform-attn impl (B=1 + optional batch-N) -> result dict.
 
     The impl is resolved from $ODISE_TPU_DEFORM_IMPL at TRACE time inside
@@ -476,19 +522,20 @@ def measure_impl(ctx, impl, remaining_budget_s):
     import jax
 
     args = ctx.args
+    protocol = protocol or args.protocol
     os.environ["ODISE_TPU_DEFORM_IMPL"] = impl
     t_impl0 = time.perf_counter()
-    log(f"[{impl}] compiling {args.protocol} eval graphs (B=1)")
-    compile_fn = (ctx.compile_split if args.protocol == "split"
+    log(f"[{impl}] compiling {protocol} eval graphs (B=1)")
+    compile_fn = (ctx.compile_split if protocol == "split"
                   else ctx.compile_monolithic)
-    fetch, compile_s, flops, (sem_sum, pan_sum) = compile_fn(1)
+    step, compile_s, flops, (sem_sum, pan_sum, logit_sum) = compile_fn(1)
     log(f"[{impl}] compiled+first-run in {compile_s:.1f}s; "
-        f"checksums sem={sem_sum!r} pan={pan_sum!r}")
+        f"checksums sem={sem_sum!r} pan={pan_sum!r} logit={logit_sum!r}")
 
-    per_iter, times = time_loop(fetch, args.iters, args.warmup, ctx.rtt)
-    log(f"[{impl}] {args.iters} timed iters: median "
-        f"{(per_iter + ctx.rtt) * 1000:.1f} ms (min {times[0] * 1000:.1f}, "
-        f"max {times[-1] * 1000:.1f}) -> {per_iter * 1000:.1f} ms/img")
+    per_iter, times = time_loop(step, args.iters, args.warmup, ctx.rtt,
+                                timing=args.timing, depth=args.pipeline_depth)
+    log(f"[{impl}/{protocol}] {args.timing} timing: "
+        f"{per_iter * 1000:.1f} ms/img")
 
     device = str(jax.devices()[0])
     peak = peak_bf16_flops(device)
@@ -514,11 +561,12 @@ def measure_impl(ctx, impl, remaining_budget_s):
             try:
                 Bb = args.batched
                 log(f"[{impl}] compiling batch-{Bb} eval graphs")
-                fetch_b, compile_b, flops_b, _ = compile_fn(Bb)
+                step_b, compile_b, flops_b, _ = compile_fn(Bb)
                 log(f"[{impl}] batch-{Bb} compiled+first-run in "
                     f"{compile_b:.1f}s")
                 per_step_b, _ = time_loop(
-                    fetch_b, max(args.iters // 2, 3), 1, ctx.rtt)
+                    step_b, max(args.iters // 2, 3), 1, ctx.rtt,
+                    timing=args.timing, depth=max(args.pipeline_depth // 2, 2))
                 ips_b = Bb / per_step_b
                 batched = {"batch": Bb,
                            "step_ms": round(per_step_b * 1000, 1),
@@ -545,7 +593,8 @@ def measure_impl(ctx, impl, remaining_budget_s):
             "image_size": ctx.S,
             "batch": best_batch,
             "clip_head": not args.no_clip_head,
-            "protocol": args.protocol,
+            "protocol": protocol,
+            "timing": args.timing,
             "deform_impl": impl,
             "param_storage": args.param_storage,
             "fill": args.fill,
@@ -557,6 +606,7 @@ def measure_impl(ctx, impl, remaining_budget_s):
             "mfu_pct": mfu,
             "checksum_sem": sem_sum,
             "checksum_pan": pan_sum,
+            "checksum_logit": logit_sum,
             "batched": batched,
             "total_wall_s": round(time.perf_counter() - _T0, 1),
             "device": device,
@@ -577,14 +627,25 @@ def main():
         "banks quad FIRST (robust compile; a recorded number within "
         "minutes on a warm cache), then spends leftover budget on hybrid, "
         "and reports the BEST banked result.")
-    ap.add_argument("--impls", default="quad,hybrid",
-                    help="sequence mode: comma-separated impls, measured "
-                    "in order (robust first)")
+    ap.add_argument("--impls", default="quad,hybrid,hybrid:monolithic",
+                    help="sequence mode: comma-separated impl[:protocol] "
+                    "entries, measured in order (robust first). Both "
+                    "protocols are honest serving shapes; through the axon "
+                    "relay the monolithic graph saves ~2 dispatch gaps "
+                    "per image, on a real TPU VM they are ~equal")
     ap.add_argument("--protocol", default="split",
                     choices=["split", "monolithic"],
-                    help="split (default) = the production trunk/head/"
-                    "fusion protocol served by tools/train_net.py::do_test; "
-                    "monolithic = one fused research graph")
+                    help="default protocol for entries without an explicit "
+                    "one. split = the production trunk/head/fusion protocol "
+                    "served by tools/train_net.py::do_test; monolithic = "
+                    "one fused graph")
+    ap.add_argument("--timing", default="pipelined",
+                    choices=["pipelined", "serial"],
+                    help="pipelined (default) keeps N dispatches in flight "
+                    "(the production streaming pattern; measures pure "
+                    "device throughput). serial fetches every iteration "
+                    "and subtracts the relay rtt (legacy)")
+    ap.add_argument("--pipeline-depth", type=int, default=8)
     ap.add_argument("--budget", type=float, default=700.0,
                     help="total wall budget (s); the sequence child stops "
                     "starting new measurements when the remainder is thin")
@@ -645,37 +706,42 @@ def main():
         print(line)
         return
 
-    impls = ([args.impl] if args.impl != "sequence"
-             else [s.strip() for s in args.impls.split(",") if s.strip()])
-    os.environ["ODISE_TPU_DEFORM_IMPL"] = impls[0]
+    entries = ([(args.impl, args.protocol)] if args.impl != "sequence"
+               else [((s.split(":") + [args.protocol])[0],
+                      (s.split(":") + [args.protocol])[1])
+                     for s in (t.strip() for t in args.impls.split(","))
+                     if s])
+    os.environ["ODISE_TPU_DEFORM_IMPL"] = entries[0][0]
 
-    log(f"importing jax (impls={impls}, protocol={args.protocol}, "
-        f"fill={args.fill})")
+    log(f"importing jax (entries={entries}, fill={args.fill}, "
+        f"timing={args.timing})")
     ctx = BenchContext(args)
 
     results = []
-    for i, impl in enumerate(impls):
+    for i, (impl, protocol) in enumerate(entries):
         remaining = args.budget - (time.perf_counter() - _T0)
         if results and remaining < 150.0:
-            log(f"stopping before [{impl}]: only {remaining:.0f}s left and "
-                "a result is already banked")
+            log(f"stopping before [{impl}/{protocol}]: only {remaining:.0f}s "
+                "left and a result is already banked")
             break
         try:
-            res = measure_impl(ctx, impl, remaining)
+            res = measure_impl(ctx, impl, remaining, protocol=protocol)
         except Exception as e:
-            log(f"[{impl}] measurement failed: {e!r}")
+            log(f"[{impl}/{protocol}] measurement failed: {e!r}")
             continue
         if results:
             # cross-impl numerics gate (meaningful with --fill pattern):
-            # sem checksum is a continuous function of the logits
-            ref = results[0]["detail"]["checksum_sem"]
-            cur = res["detail"]["checksum_sem"]
+            # the logit checksum is a continuous function of the raw
+            # logits/masks — sensitive to any numerics drift between impls
+            ref = results[0]["detail"]["checksum_logit"]
+            cur = res["detail"]["checksum_logit"]
             denom = max(abs(ref), 1e-9)
             rel = abs(cur - ref) / denom
             res["detail"]["checksum_rel_diff_vs_first"] = float(rel)
             lvl = "OK" if rel < 1e-2 else "MISMATCH"
-            log(f"[{impl}] checksum vs [{results[0]['detail']['deform_impl']}]"
-                f": rel diff {rel:.2e} [{lvl}]")
+            log(f"[{impl}] logit checksum vs "
+                f"[{results[0]['detail']['deform_impl']}]: "
+                f"rel diff {rel:.2e} [{lvl}]")
         results.append(res)
         if args.result_file:
             with open(args.result_file, "a") as f:
@@ -688,7 +754,9 @@ def main():
         sys.exit(1)
     best = max(results, key=lambda r: r["value"])
     best["detail"]["attempts"] = [
-        {"impl": r["detail"]["deform_impl"], "batch": r["detail"]["batch"],
+        {"impl": r["detail"]["deform_impl"],
+         "protocol": r["detail"]["protocol"],
+         "batch": r["detail"]["batch"],
          "value": r["value"]} for r in results]
     print(json.dumps(best))
 

@@ -367,13 +367,18 @@ def convert_odise_trainable(sd: Mapping, num_projections: int = 8,
         _set(tree, f"{cap}/clip_project/positional_embedding",
              sd[f"{fx}.clip_project.positional_embedding"])
     if f"{fx}.alpha_cond" in sd:
+        # reference shape [1, 77, ctx] (zeros_like(uncond_inputs)) — ours
+        # matches; keep as-is
         _set(tree, f"{cap}/alpha_cond", sd[f"{fx}.alpha_cond"])
     if f"{fx}.time_embed_project.linear.weight" in sd:
         _lin(sd, tree, f"{fx}.time_embed_project.linear",
              f"{cap}/time_embed_project/linear")
         _set(tree, f"{cap}/time_embed_project/positional_embedding",
              sd[f"{fx}.time_embed_project.positional_embedding"])
-        _set(tree, f"{cap}/alpha_cond_time_embed", sd[f"{fx}.alpha_cond_time_embed"])
+        # reference stores a 1-D [time_embed_dim] vector (ldm.py:668);
+        # our param is [1, time_embed_dim]
+        _set(tree, f"{cap}/alpha_cond_time_embed",
+             np.reshape(sd[f"{fx}.alpha_cond_time_embed"], (1, -1)))
 
     # --- pixel decoder
     pd = "sem_seg_head.pixel_decoder"

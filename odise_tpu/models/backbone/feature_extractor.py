@@ -286,8 +286,11 @@ class LdmImplicitCaptionerExtractor(nn.Module):
             embed_dim=ed, dtype=self.dtype)
         self.clip_project = PositionalLinear(
             self.context_dim, seq_len=77, dtype=self.dtype)
+        # [1, 77, ctx]: the reference gates PER TOKEN POSITION
+        # (zeros_like(uncond_inputs), ldm.py:657) — shape must match for
+        # weight conversion; tanh(0)=0 keeps init behavior identical
         self.alpha_cond = self.param("alpha_cond", nn.initializers.zeros,
-                                     (1, 1, self.context_dim))
+                                     (1, 77, self.context_dim))
         if self.learnable_time_embed:
             time_embed_dim = self.model_channels * 4
             self.time_embed_project = PositionalLinear(

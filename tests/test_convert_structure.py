@@ -233,11 +233,13 @@ def synth_odise_trainable_state_dict(hid=32, clip_dim=16, queries=10,
     _lin(sd, "backbone.feature_extractor.clip_project.linear", clip_dim, clip_dim)
     sd["backbone.feature_extractor.clip_project.positional_embedding"] = \
         np.zeros((1, 77, clip_dim), np.float32)
-    sd["backbone.feature_extractor.alpha_cond"] = np.zeros((1, 1, clip_dim), np.float32)
+    # real reference: zeros_like(uncond_inputs) = [1, 77, ctx] (ldm.py:657)
+    sd["backbone.feature_extractor.alpha_cond"] = np.zeros((1, 77, clip_dim), np.float32)
     _lin(sd, "backbone.feature_extractor.time_embed_project.linear", clip_dim, 8 * 4)
     sd["backbone.feature_extractor.time_embed_project.positional_embedding"] = \
         np.zeros((1, 1, 8 * 4), np.float32)
-    sd["backbone.feature_extractor.alpha_cond_time_embed"] = np.zeros((1, 8 * 4), np.float32)
+    # real reference: 1-D [time_embed_dim] (ldm.py:668); converter reshapes
+    sd["backbone.feature_extractor.alpha_cond_time_embed"] = np.zeros((8 * 4,), np.float32)
     # pixel decoder
     pd = "sem_seg_head.pixel_decoder"
     for i in range(nlevels):
