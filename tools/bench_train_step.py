@@ -32,6 +32,11 @@ def main():
                     help="use_checkpoint=False (keep activations)")
     ap.add_argument("--fused-slide", action="store_true",
                     help="batched slide crops instead of serial+remat scan")
+    ap.add_argument("--json-out", default=None,
+                    help="write a driver-grade JSON record here (metric/"
+                    "value/unit/vs_baseline; baseline = the 0.36 img/s/V100 "
+                    "derived from the reference's 4-node 50e schedule, "
+                    "BASELINE.md)")
     args = ap.parse_args()
 
     import jax
@@ -124,6 +129,30 @@ def main():
     dt = min(times)
     print(f"train step @ {S}px slide B={B}: {dt:.2f} s/step"
           f" = {B/dt:.3f} img/s/chip", flush=True)
+
+    if args.json_out:
+        import json
+
+        rec = {
+            "metric": "train_img_per_sec_per_chip_1024px_slide",
+            "value": round(B / dt, 4),
+            "unit": "img/s/chip",
+            "vs_baseline": round((B / dt) / 0.36, 4),
+            "detail": {
+                "image_size": S, "batch": B, "max_instances": T,
+                "num_points": 12544, "remat": not args.no_remat,
+                "slide": "fused" if args.fused_slide else "serial",
+                "fwd_only": args.fwd_only,
+                "step_s": round(dt, 3),
+                "step_s_all": [round(t, 3) for t in times],
+                "compile_s": round(compile_s, 1),
+                "total_loss_first": first,
+                "device": str(jax.devices()[0]),
+            },
+        }
+        with open(args.json_out, "w") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
