@@ -123,3 +123,40 @@ def test_all_fail_returns_none():
     assert run_with_fallback([("bad", _fail()), ("bad2", _fail())],
                              budget_s=60, reserve_s=5,
                              log=lambda m: None) is None
+
+
+def test_pipelined_time_loop_counts_every_iter():
+    """time_loop(pipelined) must average wall over ALL dispatches and fetch
+    every in-flight result before stopping the clock."""
+    from bench import time_loop
+
+    calls = []
+
+    class FakeScalar:
+        def __init__(self, i):
+            self.i = i
+
+        def __float__(self):
+            return float(self.i)
+
+    def step():
+        calls.append(len(calls))
+        return (FakeScalar(len(calls)),)
+
+    per, times = time_loop(step, iters=6, warmup=2, rtt=0.5,
+                           timing="pipelined", depth=3)
+    # warmup (2) + max(iters, 2*depth) timed dispatches
+    assert len(calls) == 2 + 6
+    assert per >= 0.0
+    assert len(times) == 6
+
+
+def test_sequence_entry_parsing_with_protocols():
+    """--impls entries accept impl[:protocol]; bare entries inherit the
+    default protocol."""
+    spec = "quad,hybrid,hybrid:monolithic"
+    default = "split"
+    entries = [((s.split(":") + [default])[0], (s.split(":") + [default])[1])
+               for s in (t.strip() for t in spec.split(",")) if s]
+    assert entries == [("quad", "split"), ("hybrid", "split"),
+                       ("hybrid", "monolithic")]
