@@ -646,9 +646,11 @@ def main():
                     "device throughput). serial fetches every iteration "
                     "and subtracts the relay rtt (legacy)")
     ap.add_argument("--pipeline-depth", type=int, default=8)
-    ap.add_argument("--budget", type=float, default=700.0,
+    ap.add_argument("--budget", type=float, default=1000.0,
                     help="total wall budget (s); the sequence child stops "
-                    "starting new measurements when the remainder is thin")
+                    "starting new measurements when the remainder is thin. "
+                    "Default sized for one relay-reconnect stall plus warm "
+                    "compiles (the driver tolerated ~1500 s wall in r4)")
     ap.add_argument("--margin", type=float, default=40.0,
                     help="auto mode: seconds reserved between the child "
                     "kill and the parent's own deadline")
