@@ -10,6 +10,15 @@ reliable barrier through the axon TPU relay. The measured relay round-trip
 Parameters come from the committed static shape manifest (same design as
 bench.py: flat zero buffers carved by static slices inside each jit), so the
 pre-compile phase is seconds, not minutes.
+
+CAVEAT (measured, round 5): per-component DELTAS between separately-jitted
+nested graphs are noisy — XLA optimizes each graph differently and the
+tree_sum output reductions differ, so a stage can show a negative delta
+(e.g. the r5 run showed clip_head at -74 ms). Trust this tool for the
+FLOPs/bytes accounting and the end-to-end number; for trustworthy TIME
+attribution of one component, ablate it inside the FULL graph instead
+(e.g. ODISE_TPU_DEFORM_IMPL=skip pinned deform attn at 72 ms of the 155 ms
+step — bench.py --impl skip vs --impl hybrid, same protocol).
 """
 
 from __future__ import annotations
