@@ -188,6 +188,26 @@ def _quad_impl(value, spatial_shapes, sampling_locations, attention_weights):
     return out.reshape(B, Len_q, n_heads * head_dim)
 
 
+def _quad_split_impl(value, spatial_shapes, sampling_locations,
+                     attention_weights):
+    """Per-level quad gathers (one gather per level, each from its OWN
+    small table) instead of ``quad``'s single gather from the concatenated
+    table. Motivation (measured, round 5): gather row throughput degrades
+    as the value table grows — at B=4 the same row count ran ~1.6x slower
+    from a 4x table — so 2 gathers from 8 MB + 2 MB tables may beat 1
+    gather from the 11 MB concat. Bit-identical math to ``quad``."""
+    B, Len_v, n_heads, head_dim = value.shape
+    out = 0.0
+    off = 0
+    for i, (h, w) in enumerate(spatial_shapes):
+        out = out + _quad_impl(
+            value[:, off:off + h * w], [(h, w)],
+            sampling_locations[:, :, :, i:i + 1],
+            attention_weights[:, :, :, i:i + 1])
+        off += h * w
+    return out.astype(value.dtype)
+
+
 def _matmul_level(value_lvl, h, w, loc, a_lvl):
     """One level as a weighted one-hot matmul (no row gathers).
 
@@ -273,16 +293,27 @@ def _hybrid_impl(value, spatial_shapes, sampling_locations, attention_weights,
             sampling_locations[:, :, :, i], attention_weights[:, :, :, i])
 
     if large:
-        shapes_l = [spatial_shapes[i] for i in large]
-        value_l = jnp.concatenate(
-            [value[:, offsets[i]:offsets[i] + spatial_shapes[i][0]
-                   * spatial_shapes[i][1]] for i in large], axis=1)
-        loc_l = jnp.stack([sampling_locations[:, :, :, i] for i in large],
-                          axis=3)
-        att_l = jnp.stack([attention_weights[:, :, :, i] for i in large],
-                          axis=3)
-        out = out + _quad_impl(value_l, shapes_l, loc_l, att_l).reshape(
-            B, -1, n_heads, head_dim)
+        if os.environ.get("ODISE_TPU_DEFORM_SPLIT_GATHER", "0") == "1":
+            # per-level gathers, each from its own small table (see
+            # _quad_split_impl rationale)
+            for i in large:
+                h, w = spatial_shapes[i]
+                out = out + _quad_impl(
+                    value[:, offsets[i]:offsets[i] + h * w], [(h, w)],
+                    sampling_locations[:, :, :, i:i + 1],
+                    attention_weights[:, :, :, i:i + 1]).reshape(
+                        B, -1, n_heads, head_dim)
+        else:
+            shapes_l = [spatial_shapes[i] for i in large]
+            value_l = jnp.concatenate(
+                [value[:, offsets[i]:offsets[i] + spatial_shapes[i][0]
+                       * spatial_shapes[i][1]] for i in large], axis=1)
+            loc_l = jnp.stack([sampling_locations[:, :, :, i] for i in large],
+                              axis=3)
+            att_l = jnp.stack([attention_weights[:, :, :, i] for i in large],
+                              axis=3)
+            out = out + _quad_impl(value_l, shapes_l, loc_l, att_l).reshape(
+                B, -1, n_heads, head_dim)
 
     return out.astype(value.dtype).reshape(B, -1, n_heads * head_dim)
 
@@ -322,6 +353,9 @@ def ms_deform_attn(
     if impl == "quad":
         return _quad_impl(value, spatial_shapes, sampling_locations,
                           attention_weights)
+    if impl == "quad_split":
+        return _quad_split_impl(value, spatial_shapes, sampling_locations,
+                                attention_weights)
     if impl == "hybrid":
         return _hybrid_impl(value, spatial_shapes, sampling_locations,
                             attention_weights)
