@@ -402,3 +402,23 @@ def test_grid_sample_c1_large_map_plain_path():
                           jnp.asarray(pts))[..., :1]
     np.testing.assert_allclose(np.asarray(plain), np.asarray(general),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_ms_deform_attn_quad_split_matches_quad():
+    """quad_split (per-level gathers from small own tables) must be
+    bit-close to quad (single concatenated-table gather) — same math,
+    different gather decomposition (NOTES.md round 5 table-size study)."""
+    rng = np.random.RandomState(7)
+    shapes = [(16, 16), (8, 8), (4, 4)]
+    B, n_heads, hd, n_points = 1, 8, 32, 4
+    Lv = sum(h * w for h, w in shapes)
+    Lq = Lv
+    value = jnp.asarray(rng.randn(B, Lv, n_heads, hd).astype(np.float32))
+    loc = jnp.asarray(
+        rng.rand(B, Lq, n_heads, len(shapes), n_points, 2).astype(np.float32))
+    w = jnp.asarray(
+        rng.rand(B, Lq, n_heads, len(shapes), n_points).astype(np.float32))
+
+    a = np.asarray(ms_deform_attn(value, shapes, loc, w, impl="quad"))
+    b = np.asarray(ms_deform_attn(value, shapes, loc, w, impl="quad_split"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
